@@ -1,0 +1,33 @@
+"""Test config: force a REAL CPU backend with 8 virtual devices.
+
+This machine routes JAX to a remote TPU through the axon relay by default
+(sitecustomize registers the plugin at interpreter start and overrides
+JAX_PLATFORMS).  Tests must run on local CPU: deterministic, fast eager
+dispatch, and 8 fake devices so the parallel tests exercise real 8-way
+`shard_map` sharding — the fake-multi-device capability the reference lacked
+entirely (SURVEY.md §4: no tests; its distributed path hard-required
+SLURM+NCCL).
+
+The backend initializes lazily, so setting XLA_FLAGS + jax_platforms here
+(before any test touches a device) is early enough.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,109 @@
+"""Sharded, double-buffered host->device input pipeline.
+
+Replaces the reference's 6-worker torch DataLoader with pinned memory
+(train.py:155, trainMultiGPU.py:241): a background thread gathers memmap
+batches and places them on the device mesh ahead of the compute stream, so
+the TPU never waits on the host (the reference measured 0.047 -> 0.0005
+s/batch going 0 -> 6 workers; here one producer thread + on-device
+normalization achieves the same overlap).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_captioner.data.dataset import Batch, CaptionDataset, iterate_batches
+
+
+def batch_sharding(mesh: Optional[Mesh]):
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P("data"))
+
+
+def device_put_batch(batch: Batch, mesh: Optional[Mesh]):
+    """Transfer a host batch to device(s), sharding the leading axis over the
+    'data' mesh axis.  Images stay uint8 until the jitted step normalizes."""
+    sharding = batch_sharding(mesh)
+    d = batch.as_dict()
+    if sharding is None:
+        return {k: jax.device_put(v) for k, v in d.items()}
+    return {k: jax.device_put(v, sharding) for k, v in d.items()}
+
+
+def prefetch_to_device(
+    host_iter: Iterator[Batch],
+    mesh: Optional[Mesh] = None,
+    depth: int = 2,
+):
+    """Wrap a host batch iterator with a background producer thread that keeps
+    ``depth`` batches resident on device."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+    err: list = []
+
+    def producer():
+        try:
+            for b in host_iter:
+                q.put(device_put_batch(b, mesh))
+        except Exception as e:  # surface loader errors to the consumer
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+class ShardedLoader:
+    """Epoch-aware loader: deterministic seed+epoch shuffle, fixed global batch
+    sharded over the mesh 'data' axis, device prefetch."""
+
+    def __init__(
+        self,
+        dataset: CaptionDataset,
+        global_batch: int,
+        mesh: Optional[Mesh] = None,
+        seed: int = 42,
+        shuffle: bool = True,
+        prefetch_depth: int = 2,
+    ):
+        if mesh is not None:
+            n_shards = mesh.shape["data"]
+            if global_batch % n_shards != 0:
+                raise ValueError(
+                    f"global_batch {global_batch} not divisible by data axis {n_shards}"
+                )
+        self.dataset = dataset
+        self.global_batch = global_batch
+        self.mesh = mesh
+        self.seed = seed
+        self.shuffle = shuffle
+        self.prefetch_depth = prefetch_depth
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return (n + self.global_batch - 1) // self.global_batch
+
+    def epoch(self, epoch: int):
+        host = iterate_batches(
+            self.dataset,
+            self.global_batch,
+            epoch=epoch,
+            seed=self.seed,
+            shuffle=self.shuffle,
+        )
+        return prefetch_to_device(host, self.mesh, self.prefetch_depth)

@@ -1,0 +1,179 @@
+"""ConvNeXt-Base backbone as a flax.linen module, NHWC end-to-end.
+
+TPU-native re-design of the torchvision backbone consumed by the reference
+encoder (reference models/encoder.py:18-19 keeps ``convnext_base().features``).
+Structure matches torchvision's 8 feature children one-to-one so that
+stage-indexed fine-tuning (models/encoder.py:29-34) and weight porting are
+index-compatible:
+
+  features_0  stem:      4x4/4 conv 3->128 + LayerNorm
+  features_1  stage 1:   3 blocks, dim 128
+  features_2  down:      LayerNorm + 2x2/2 conv 128->256
+  features_3  stage 2:   3 blocks, dim 256
+  features_4  down:      256->512
+  features_5  stage 3:   27 blocks, dim 512
+  features_6  down:      512->1024
+  features_7  stage 4:   3 blocks, dim 1024
+
+Each block: depthwise 7x7 conv -> LayerNorm -> Dense 4x -> GELU(exact) ->
+Dense 1x -> layer-scale (init 1e-6) -> stochastic depth (row mode, total rate
+0.5 linearly ramped over the 36 blocks, matching torchvision convnext_base)
+-> residual add.  All LayerNorms use eps=1e-6.
+
+NHWC everywhere: the permutes that bracket every torch block disappear, and
+XLA keeps the channel axis on the 128-wide lane dimension of the MXU/VPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tpu_captioner.models.torch_init import trunc_normal02
+
+# (depths, dims) for ConvNeXt-Base; stochastic-depth total rate 0.5.
+BASE_DEPTHS = (3, 3, 27, 3)
+BASE_DIMS = (128, 256, 512, 1024)
+BASE_SD_RATE = 0.5
+LN_EPS = 1e-6
+
+
+def _layer_norm(dtype):
+    # Normalize/scale in f32 for stability regardless of compute dtype.
+    return nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, param_dtype=jnp.float32)
+
+
+class ConvNeXtBlock(nn.Module):
+    dim: int
+    sd_prob: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        inp = x
+        # Depthwise 7x7 (feature_group_count=dim maps onto XLA's native
+        # depthwise conv; no im2col, runs on the VPU/MXU hybrid path).
+        x = nn.Conv(
+            self.dim,
+            (7, 7),
+            padding=3,
+            feature_group_count=self.dim,
+            dtype=self.dtype,
+            kernel_init=trunc_normal02(),
+            name="dwconv",
+        )(x)
+        x = _layer_norm(self.dtype)(x).astype(self.dtype)
+        x = nn.Dense(4 * self.dim, dtype=self.dtype, kernel_init=trunc_normal02(), name="pw1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal02(), name="pw2")(x)
+        gamma = self.param("layer_scale", nn.initializers.constant(1e-6), (self.dim,), jnp.float32)
+        x = x * gamma.astype(self.dtype)
+        if self.sd_prob > 0.0 and not deterministic:
+            # Stochastic depth, row mode (per-sample) — matches torchvision.
+            key = self.make_rng("stochastic_depth")
+            survival = 1.0 - self.sd_prob
+            mask = jax.random.bernoulli(key, survival, (x.shape[0], 1, 1, 1))
+            x = jnp.where(mask, x / survival, 0.0).astype(self.dtype)
+        return inp + x
+
+
+class Downsample(nn.Module):
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = _layer_norm(self.dtype)(x).astype(self.dtype)
+        x = nn.Conv(
+            self.dim_out,
+            (2, 2),
+            strides=(2, 2),
+            dtype=self.dtype,
+            kernel_init=trunc_normal02(),
+            name="conv",
+        )(x)
+        return x
+
+
+class Stem(nn.Module):
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.dim_out,
+            (4, 4),
+            strides=(4, 4),
+            dtype=self.dtype,
+            kernel_init=trunc_normal02(),
+            name="conv",
+        )(x)
+        x = _layer_norm(self.dtype)(x).astype(self.dtype)
+        return x
+
+
+class Stage(nn.Module):
+    dim: int
+    depth: int
+    sd_probs: Sequence[float]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        for i in range(self.depth):
+            x = ConvNeXtBlock(
+                self.dim, float(self.sd_probs[i]), self.dtype, name=f"block_{i}"
+            )(x, deterministic=deterministic)
+        return x
+
+
+class ConvNeXtFeatures(nn.Module):
+    """The 8-child feature pyramid (input NHWC uint8-normalized float)."""
+
+    depths: Sequence[int] = BASE_DEPTHS
+    dims: Sequence[int] = BASE_DIMS
+    sd_rate: float = BASE_SD_RATE
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        total = sum(self.depths)
+        sd = [self.sd_rate * i / max(total - 1.0, 1.0) for i in range(total)]
+        off = 0
+        x = Stem(self.dims[0], self.dtype, name="features_0")(x)
+        for s, (depth, dim) in enumerate(zip(self.depths, self.dims)):
+            if s > 0:
+                x = Downsample(dim, self.dtype, name=f"features_{2 * s}")(x)
+            x = Stage(
+                dim, depth, sd[off : off + depth], self.dtype, name=f"features_{2 * s + 1}"
+            )(x, deterministic=deterministic)
+            off += depth
+        return x  # (B, H/32, W/32, dims[-1])
+
+
+def adaptive_avg_pool_matrix(in_size: int, out_size: int) -> jnp.ndarray:
+    """(in_size, out_size) averaging matrix reproducing torch
+    AdaptiveAvgPool2d bin edges: bin i spans [floor(i*S/O), ceil((i+1)*S/O))."""
+    import numpy as np
+
+    m = np.zeros((in_size, out_size), dtype=np.float32)
+    for i in range(out_size):
+        lo = (i * in_size) // out_size
+        hi = -(-((i + 1) * in_size) // out_size)  # ceil
+        m[lo:hi, i] = 1.0 / (hi - lo)
+    return jnp.asarray(m)
+
+
+def adaptive_avg_pool_nhwc(x: jnp.ndarray, out_hw: int) -> jnp.ndarray:
+    """Adaptive average pool as two small matmuls (exact, MXU-friendly,
+    no dynamic windows) — replaces nn.AdaptiveAvgPool2d (encoder.py:20)."""
+    h, w = x.shape[1], x.shape[2]
+    mh = adaptive_avg_pool_matrix(h, out_hw).astype(x.dtype)
+    mw = adaptive_avg_pool_matrix(w, out_hw).astype(x.dtype)
+    x = jnp.einsum("bhwc,hp->bpwc", x, mh)
+    x = jnp.einsum("bpwc,wq->bpqc", x, mw)
+    return x

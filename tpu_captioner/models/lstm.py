@@ -1,0 +1,311 @@
+"""LSTM decoder family: soft-attention (Show-Attend-Tell style) and the
+no-attention baseline.
+
+Functional re-design of the reference decoders (models/decoder.py:16-172,
+models/lstmNoAttention.py:13-139) with TPU-native control flow:
+
+- teacher forcing: ONE ``lax.scan`` over the 51 time steps on the full fixed
+  batch; the reference's sorted shrinking-batch loop (decoder.py:100-111) is
+  replaced by per-(sample, step) masks applied in the loss — numerically
+  identical because masked positions simply never contribute.
+- free-running: ``lax.scan`` with a ``finished`` flag per row replacing the
+  dynamic active-index gather (decoder.py:140-161); logits/alphas/sequences
+  for rows already finished are zeroed exactly like the untouched
+  preallocated buffers in the reference.
+
+Per-step dropout on the hidden state before the vocab projection matches the
+reference's train-mode dropout (decoder.py:109,152); keys are split per step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_captioner.core.config import ModelConfig
+from tpu_captioner.models import torch_init
+from tpu_captioner.models.layers import (
+    Params,
+    dropout,
+    init_linear,
+    init_lstm_cell,
+    linear,
+    lstm_cell,
+)
+
+
+def _flatten_pixels(encoder_out: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) or (B, P, C) -> (B, P, C)."""
+    if encoder_out.ndim == 4:
+        b, h, w, c = encoder_out.shape
+        return encoder_out.reshape(b, h * w, c)
+    return encoder_out
+
+
+def additive_attention(
+    p: Params, encoder_out: jnp.ndarray, hidden: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bahdanau additive attention (decoder.py:16-31).
+
+    encoder_out: (B, P, C); hidden: (B, D).
+    Returns (context (B, C), alpha (B, P)).
+
+    The encoder-side projection is hoisted by callers via
+    ``precompute_att_enc`` when running decode loops (invariant across steps).
+    """
+    att1 = linear(p["encoder_att"], encoder_out)  # (B, P, A)
+    return _attention_from_projected(p, encoder_out, att1, hidden)
+
+
+def _attention_from_projected(p, encoder_out, att1, hidden):
+    att2 = linear(p["decoder_att"], hidden)  # (B, A)
+    att = linear(p["full_att"], jax.nn.relu(att1 + att2[:, None, :]))[..., 0]  # (B, P)
+    alpha = jax.nn.softmax(att, axis=1)
+    context = jnp.einsum("bp,bpc->bc", alpha, encoder_out)
+    return context, alpha
+
+
+@dataclass
+class DecoderWithAttention:
+    """Config-bound functional module (reference models/decoder.py:34-172)."""
+
+    cfg: ModelConfig
+
+    # -- parameters ---------------------------------------------------------
+    def init_params(self, key: jax.Array) -> Params:
+        c = self.cfg
+        ks = jax.random.split(key, 9)
+        emb_init = torch_init.uniform_pm(0.1)  # decoder.py:59
+        return {
+            "embedding": emb_init(ks[0], (c.vocab_size, c.embed_dim)),
+            "attention": {
+                "encoder_att": init_linear(ks[1], c.encoder_dim, c.attention_dim),
+                "decoder_att": init_linear(ks[2], c.decoder_dim, c.attention_dim),
+                "full_att": init_linear(ks[3], c.attention_dim, 1),
+            },
+            "init_h": init_linear(ks[4], c.encoder_dim, c.decoder_dim),
+            "init_c": init_linear(ks[5], c.encoder_dim, c.decoder_dim),
+            "f_beta": init_linear(ks[6], c.decoder_dim, c.encoder_dim),
+            "lstm": init_lstm_cell(ks[7], c.embed_dim + c.encoder_dim, c.decoder_dim),
+            "fc": init_linear(
+                ks[8],
+                c.decoder_dim,
+                c.vocab_size,
+                w_init=torch_init.uniform_pm(0.1),  # decoder.py:60-61
+                b_init=jax.nn.initializers.zeros,
+            ),
+        }
+
+    # -- shared pieces ------------------------------------------------------
+    def init_hidden_state(self, p: Params, encoder_out_flat: jnp.ndarray):
+        mean_enc = jnp.mean(encoder_out_flat, axis=1)  # decoder.py:63-67
+        return linear(p["init_h"], mean_enc), linear(p["init_c"], mean_enc)
+
+    def _gated_context(self, p, encoder_out_flat, att1, h):
+        ctx, alpha = _attention_from_projected(p["attention"], encoder_out_flat, att1, h)
+        gate = jax.nn.sigmoid(linear(p["f_beta"], h))  # decoder.py:104-105
+        return gate * ctx, alpha
+
+    def step(self, p: Params, h, c, token_emb, encoder_out_flat, att1):
+        """One decode step (used by scan bodies and beam search).
+        Returns (h_new, c_new, pre-dropout hidden, alpha)."""
+        ctx, alpha = self._gated_context(p, encoder_out_flat, att1, h)
+        h_new, c_new = lstm_cell(p["lstm"], jnp.concatenate([token_emb, ctx], -1), h, c)
+        return h_new, c_new, alpha
+
+    # -- teacher forcing ----------------------------------------------------
+    def tf_forward(
+        self,
+        p: Params,
+        encoder_out: jnp.ndarray,
+        captions: jnp.ndarray,  # (B, L) int32
+        *,
+        rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (logits (B, L-1, V), alphas (B, L-1, P)); logits[:, t]
+        predicts captions[:, t+1].  Unmasked — the loss applies the
+        decode-length mask (≡ the reference's shrinking batch_size_t)."""
+        c = self.cfg
+        enc = _flatten_pixels(encoder_out)
+        att1 = linear(p["attention"]["encoder_att"], enc)
+        h0, c0 = self.init_hidden_state(p, enc)
+        embs = p["embedding"][captions[:, :-1]]  # (B, T, E)
+        T = embs.shape[1]
+        rngs = (
+            jax.random.split(rng, T)
+            if (rng is not None and not deterministic)
+            else jnp.zeros((T, 2), dtype=jnp.uint32)
+        )
+
+        def body(carry, xs):
+            h, cc = carry
+            emb_t, rng_t = xs
+            h_new, c_new, alpha = self.step(p, h, cc, emb_t, enc, att1)
+            hid = dropout(h_new, c.dropout, rng_t, deterministic)
+            logits_t = linear(p["fc"], hid)
+            return (h_new, c_new), (logits_t, alpha)
+
+        _, (logits, alphas) = jax.lax.scan(
+            body, (h0, c0), (jnp.swapaxes(embs, 0, 1), rngs)
+        )
+        return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(alphas, 0, 1)
+
+    # -- free running -------------------------------------------------------
+    def rollout(
+        self,
+        p: Params,
+        encoder_out: jnp.ndarray,
+        start_id: int,
+        end_id: int,
+        max_decode_len: int,
+        *,
+        rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Greedy decode (decoder.py:119-163).  Returns
+        (logits (B,T,V), alphas (B,T,P), sequences (B,T) int32); rows are
+        zeroed at steps after their ``<end>``, matching the reference's
+        untouched preallocated buffers."""
+        c = self.cfg
+        enc = _flatten_pixels(encoder_out)
+        att1 = linear(p["attention"]["encoder_att"], enc)
+        h0, c0 = self.init_hidden_state(p, enc)
+        B = enc.shape[0]
+        tok0 = jnp.full((B,), start_id, dtype=jnp.int32)
+        fin0 = jnp.zeros((B,), dtype=bool)
+        T = max_decode_len
+        rngs = (
+            jax.random.split(rng, T)
+            if (rng is not None and not deterministic)
+            else jnp.zeros((T, 2), dtype=jnp.uint32)
+        )
+
+        def body(carry, rng_t):
+            h, cc, tok, finished = carry
+            emb = p["embedding"][tok]
+            h_new, c_new, alpha = self.step(p, h, cc, emb, enc, att1)
+            hid = dropout(h_new, c.dropout, rng_t, deterministic)
+            logits_t = linear(p["fc"], hid)
+            pred = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+            act = ~finished
+            logits_out = jnp.where(act[:, None], logits_t, 0.0)
+            alpha_out = jnp.where(act[:, None], alpha, 0.0)
+            seq_out = jnp.where(act, pred, 0)
+            # Freeze state on finished rows (decoder.py:158-161).
+            h = jnp.where(act[:, None], h_new, h)
+            cc = jnp.where(act[:, None], c_new, cc)
+            tok = jnp.where(act, pred, tok)
+            finished = finished | (act & (pred == end_id))
+            return (h, cc, tok, finished), (logits_out, alpha_out, seq_out)
+
+        _, (logits, alphas, seqs) = jax.lax.scan(body, (h0, c0, tok0, fin0), rngs)
+        return (
+            jnp.swapaxes(logits, 0, 1),
+            jnp.swapaxes(alphas, 0, 1),
+            jnp.swapaxes(seqs, 0, 1),
+        )
+
+
+@dataclass
+class DecoderWithoutAttention:
+    """No-attention baseline (reference models/lstmNoAttention.py:13-139)."""
+
+    cfg: ModelConfig
+
+    def init_params(self, key: jax.Array) -> Params:
+        c = self.cfg
+        ks = jax.random.split(key, 5)
+        emb_init = torch_init.uniform_pm(0.1)
+        return {
+            "embedding": emb_init(ks[0], (c.vocab_size, c.embed_dim)),
+            "init_h": init_linear(ks[1], c.encoder_dim, c.decoder_dim),
+            "init_c": init_linear(ks[2], c.encoder_dim, c.decoder_dim),
+            "lstm": init_lstm_cell(ks[3], c.embed_dim, c.decoder_dim),
+            "fc": init_linear(
+                ks[4],
+                c.decoder_dim,
+                c.vocab_size,
+                w_init=torch_init.uniform_pm(0.1),
+                b_init=jax.nn.initializers.zeros,
+            ),
+        }
+
+    def init_hidden_state(self, p: Params, encoder_out_flat: jnp.ndarray):
+        mean_enc = jnp.mean(encoder_out_flat, axis=1)
+        return linear(p["init_h"], mean_enc), linear(p["init_c"], mean_enc)
+
+    def tf_forward(
+        self,
+        p: Params,
+        encoder_out: jnp.ndarray,
+        captions: jnp.ndarray,
+        *,
+        rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        c = self.cfg
+        enc = _flatten_pixels(encoder_out)
+        h0, c0 = self.init_hidden_state(p, enc)
+        embs = p["embedding"][captions[:, :-1]]
+        T = embs.shape[1]
+        rngs = (
+            jax.random.split(rng, T)
+            if (rng is not None and not deterministic)
+            else jnp.zeros((T, 2), dtype=jnp.uint32)
+        )
+
+        def body(carry, xs):
+            h, cc = carry
+            emb_t, rng_t = xs
+            h_new, c_new = lstm_cell(p["lstm"], emb_t, h, cc)
+            hid = dropout(h_new, c.dropout, rng_t, deterministic)
+            return (h_new, c_new), linear(p["fc"], hid)
+
+        _, logits = jax.lax.scan(body, (h0, c0), (jnp.swapaxes(embs, 0, 1), rngs))
+        return jnp.swapaxes(logits, 0, 1)
+
+    def rollout(
+        self,
+        p: Params,
+        encoder_out: jnp.ndarray,
+        start_id: int,
+        end_id: int,
+        max_decode_len: int,
+        *,
+        rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        c = self.cfg
+        enc = _flatten_pixels(encoder_out)
+        h0, c0 = self.init_hidden_state(p, enc)
+        B = enc.shape[0]
+        tok0 = jnp.full((B,), start_id, dtype=jnp.int32)
+        fin0 = jnp.zeros((B,), dtype=bool)
+        T = max_decode_len
+        rngs = (
+            jax.random.split(rng, T)
+            if (rng is not None and not deterministic)
+            else jnp.zeros((T, 2), dtype=jnp.uint32)
+        )
+
+        def body(carry, rng_t):
+            h, cc, tok, finished = carry
+            h_new, c_new = lstm_cell(p["lstm"], p["embedding"][tok], h, cc)
+            hid = dropout(h_new, c.dropout, rng_t, deterministic)
+            logits_t = linear(p["fc"], hid)
+            pred = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+            act = ~finished
+            logits_out = jnp.where(act[:, None], logits_t, 0.0)
+            seq_out = jnp.where(act, pred, 0)
+            h = jnp.where(act[:, None], h_new, h)
+            cc = jnp.where(act[:, None], c_new, cc)
+            tok = jnp.where(act, pred, tok)
+            finished = finished | (act & (pred == end_id))
+            return (h, cc, tok, finished), (logits_out, seq_out)
+
+        _, (logits, seqs) = jax.lax.scan(body, (h0, c0, tok0, fin0), rngs)
+        return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(seqs, 0, 1)

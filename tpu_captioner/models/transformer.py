@@ -1,0 +1,348 @@
+"""Transformer caption decoder with optional attention capture.
+
+Unifies the reference's two transformer decoders — the plain one
+(models/transformerDecoder.py:53-168) and the attention-capture variant
+(models/transformerDecoderAttVis.py:108-237) — into ONE functional module:
+cross-attention probabilities are always computed (they exist anyway) and the
+``capture_alphas`` flag selects whether the layers+heads-averaged maps
+(transformerDecoderAttVis.py:163-165) are returned.  This also removes the
+reference's need for a checkpoint key remapper between the two variants
+(caption.py:418-430): both share one parameter tree.
+
+Architecture = torch nn.TransformerDecoderLayer semantics, post-norm, ReLU
+FFN, packed-QKV MHA with attn-prob dropout, LN eps 1e-5; d_model=embed_dim,
+nhead=8 (6 for word2vec-300), ffn=decoder_dim, 6 layers; sinusoidal PE added
+AFTER embedding dropout (transformerDecoder.py:98); encoder projection
+1024->embed (transformerDecoder.py:85).
+
+TPU-native decode: free-running generation keeps per-layer KV caches and
+projects the 49-pixel encoder memory to K/V ONCE, then runs a ``lax.scan``
+of single-token steps — versus the reference's O(T^2) full-prefix re-decode
+per step (transformerDecoder.py:124-159).  Causal self-attention makes the
+cached step bit-equivalent to the full re-decode up to float reassociation
+(verified in tests/test_transformer.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_captioner.core.config import ModelConfig
+from tpu_captioner.models import torch_init
+from tpu_captioner.models.layers import (
+    Params,
+    attention_core,
+    causal_mask,
+    dropout,
+    init_layer_norm,
+    init_linear,
+    init_mha,
+    layer_norm,
+    linear,
+    mha_project_qkv,
+    multi_head_attention,
+    _merge_heads,
+    _split_heads,
+)
+
+
+def sinusoidal_pe(max_len: int, dim: int) -> jnp.ndarray:
+    """(max_len, dim) sinusoidal table (transformerDecoder.py:14-27)."""
+    pos = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div = jnp.exp(jnp.arange(0, dim, 2, dtype=jnp.float32) * (-math.log(10000.0) / dim))
+    pe = jnp.zeros((max_len, dim), dtype=jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+    return pe
+
+
+def _rng_at(rng: Optional[jax.Array], *ids: int) -> Optional[jax.Array]:
+    if rng is None:
+        return None
+    for i in ids:
+        rng = jax.random.fold_in(rng, i)
+    return rng
+
+
+class Memory(NamedTuple):
+    """Pre-projected encoder memory for incremental decoding."""
+
+    mem: jnp.ndarray  # (B, P, E) projected memory (for TF path reuse)
+    k: jnp.ndarray  # (L, B, H, P, Dh) cross-attn keys
+    v: jnp.ndarray  # (L, B, H, P, Dh) cross-attn values
+
+
+class Cache(NamedTuple):
+    k: jnp.ndarray  # (L, B, H, T, Dh) self-attn keys
+    v: jnp.ndarray  # (L, B, H, T, Dh)
+
+
+@dataclass
+class TransformerDecoder:
+    cfg: ModelConfig
+    capture_alphas: bool = False
+    pe: jnp.ndarray = field(init=False, repr=False)
+
+    def __post_init__(self):
+        self.pe = sinusoidal_pe(self.cfg.max_len, self.cfg.embed_dim)
+
+    # -- parameters ---------------------------------------------------------
+    def init_params(
+        self,
+        key: jax.Array,
+        pretrained_embeddings: Optional[jnp.ndarray] = None,
+    ) -> Params:
+        c = self.cfg
+        ks = jax.random.split(key, 4 + c.num_layers)
+        if pretrained_embeddings is not None:
+            if pretrained_embeddings.shape != (c.vocab_size, c.embed_dim):
+                raise ValueError(
+                    f"pretrained embedding shape {pretrained_embeddings.shape} "
+                    f"!= ({c.vocab_size}, {c.embed_dim})"
+                )
+            embedding = jnp.asarray(pretrained_embeddings, jnp.float32)
+        else:
+            # torch nn.Embedding default: N(0, 1).
+            embedding = jax.random.normal(ks[0], (c.vocab_size, c.embed_dim))
+        layers = [self._init_layer(ks[4 + i]) for i in range(c.num_layers)]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+        params: Params = {
+            "embedding": embedding,
+            "layers": stacked,
+            "fc_out": init_linear(ks[1], c.embed_dim, c.vocab_size),
+        }
+        if c.encoder_dim != c.embed_dim:
+            params["encoder_proj"] = init_linear(ks[2], c.encoder_dim, c.embed_dim)
+        return params
+
+    def _init_layer(self, key: jax.Array) -> Params:
+        c = self.cfg
+        ks = jax.random.split(key, 4)
+        return {
+            "self_attn": init_mha(ks[0], c.embed_dim),
+            "cross_attn": init_mha(ks[1], c.embed_dim),
+            "linear1": init_linear(ks[2], c.embed_dim, c.decoder_dim),
+            "linear2": init_linear(ks[3], c.decoder_dim, c.embed_dim),
+            "norm1": init_layer_norm(c.embed_dim),
+            "norm2": init_layer_norm(c.embed_dim),
+            "norm3": init_layer_norm(c.embed_dim),
+        }
+
+    # -- shared pieces ------------------------------------------------------
+    def _project_memory(self, p: Params, encoder_out: jnp.ndarray) -> jnp.ndarray:
+        """(B, 7, 7, C) or (B, P, C) -> (B, P, E)."""
+        if encoder_out.ndim == 4:
+            b = encoder_out.shape[0]
+            encoder_out = encoder_out.reshape(b, -1, encoder_out.shape[-1])
+        if "encoder_proj" in p:
+            return linear(p["encoder_proj"], encoder_out)
+        return encoder_out
+
+    def _embed(self, p, tokens, positions, rng, deterministic):
+        """Token embedding with reference ordering: dropout THEN +PE
+        (transformerDecoder.py:98)."""
+        emb = p["embedding"][tokens]
+        if self.cfg.embedding_path is not None:
+            # padding_idx semantics of nn.Embedding.from_pretrained
+            # (transformerDecoder.py:74): pad row pinned to zero, no grads.
+            emb = jnp.where((tokens == 0)[..., None], 0.0, emb)
+        emb = dropout(emb, self.cfg.dropout, rng, deterministic)
+        return emb + self.pe[positions]
+
+    def _ffn(self, pl, x, rng, deterministic):
+        h = jax.nn.relu(linear(pl["linear1"], x))
+        h = dropout(h, self.cfg.dropout, _rng_at(rng, 0), deterministic)
+        return linear(pl["linear2"], h)
+
+    def _layer_full(self, pl, x, mem, self_mask, rng, deterministic):
+        """Post-norm decoder layer on a full sequence.  Returns (x, cross
+        probs (B, H, T, P))."""
+        c = self.cfg
+        sa, _ = multi_head_attention(
+            pl["self_attn"], x, x, x, c.num_heads,
+            mask=self_mask, attn_dropout=c.dropout,
+            rng=_rng_at(rng, 1), deterministic=deterministic,
+        )
+        x = layer_norm(pl["norm1"], x + dropout(sa, c.dropout, _rng_at(rng, 2), deterministic))
+        ca, ca_probs = multi_head_attention(
+            pl["cross_attn"], x, mem, mem, c.num_heads,
+            attn_dropout=c.dropout, rng=_rng_at(rng, 3), deterministic=deterministic,
+        )
+        x = layer_norm(pl["norm2"], x + dropout(ca, c.dropout, _rng_at(rng, 4), deterministic))
+        ff = self._ffn(pl, x, _rng_at(rng, 5), deterministic)
+        x = layer_norm(pl["norm3"], x + dropout(ff, c.dropout, _rng_at(rng, 6), deterministic))
+        return x, ca_probs
+
+    # -- teacher forcing ----------------------------------------------------
+    def tf_forward(
+        self,
+        p: Params,
+        encoder_out: jnp.ndarray,
+        captions: jnp.ndarray,  # (B, L)
+        key_padding_mask: Optional[jnp.ndarray] = None,  # (B, L) True where pad
+        *,
+        rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """Full-sequence parallel pass (transformerDecoder.py:88-108).
+        Returns (logits (B, L, V), alphas (B, L, P) if capture_alphas)."""
+        c = self.cfg
+        mem = self._project_memory(p, encoder_out)
+        T = captions.shape[1]
+        x = self._embed(p, captions, jnp.arange(T), _rng_at(rng, 100), deterministic)
+        mask = causal_mask(T)
+        if key_padding_mask is not None:
+            mask = mask & (~key_padding_mask)[:, None, None, :]
+
+        def body(x, xs):
+            pl, i = xs
+            x, ca_probs = self._layer_full(
+                pl, x, mem, mask, _rng_at(rng, 200, i), deterministic
+            )
+            out = jnp.mean(ca_probs, axis=1) if self.capture_alphas else jnp.zeros(())
+            return x, out
+
+        n = c.num_layers
+        x, ca_means = jax.lax.scan(body, x, (p["layers"], jnp.arange(n)))
+        logits = linear(p["fc_out"], x)
+        alphas = jnp.mean(ca_means, axis=0) if self.capture_alphas else None
+        return logits, alphas
+
+    # -- incremental decode -------------------------------------------------
+    def precompute_memory(self, p: Params, encoder_out: jnp.ndarray) -> Memory:
+        """Project the 49-pixel memory to per-layer cross K/V once per image."""
+        c = self.cfg
+        mem = self._project_memory(p, encoder_out)
+        e = c.embed_dim
+
+        def per_layer(pl):
+            wk = pl["cross_attn"]["in_w"][:, e : 2 * e]
+            bk = pl["cross_attn"]["in_b"][e : 2 * e]
+            wv = pl["cross_attn"]["in_w"][:, 2 * e :]
+            bv = pl["cross_attn"]["in_b"][2 * e :]
+            k = _split_heads(mem @ wk + bk, c.num_heads)
+            v = _split_heads(mem @ wv + bv, c.num_heads)
+            return k, v
+
+        k, v = jax.vmap(per_layer)(p["layers"])
+        return Memory(mem=mem, k=k, v=v)
+
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.float32) -> Cache:
+        c = self.cfg
+        dh = c.embed_dim // c.num_heads
+        shape = (c.num_layers, batch, c.num_heads, max_len, dh)
+        return Cache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    def decode_step(
+        self,
+        p: Params,
+        tokens: jnp.ndarray,  # (B,) int32 — token at position `pos`
+        pos: jnp.ndarray,  # scalar int32
+        cache: Cache,
+        memory: Memory,
+        *,
+        rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Cache, jnp.ndarray]:
+        """One KV-cached decode step.  Returns (logits (B, V), cache,
+        cross-attn alpha (B, P) averaged over layers+heads
+        (transformerDecoderAttVis.py:223-226))."""
+        c = self.cfg
+        e = c.embed_dim
+        x = self._embed(p, tokens[:, None], pos[None], _rng_at(rng, 100), deterministic)
+        t_max = cache.k.shape[3]
+        keep = (jnp.arange(t_max) <= pos)[None, None, None, :]  # causal over cache
+
+        def body(x, xs):
+            pl, ck, cv, mk, mv, i = xs
+            # Self-attention against the cache (current token written first).
+            q, k_new, v_new = mha_project_qkv(pl["self_attn"], x, x, x, c.num_heads)
+            ck = jax.lax.dynamic_update_slice(ck, k_new, (0, 0, pos, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v_new, (0, 0, pos, 0))
+            lrng = _rng_at(rng, 200, i)
+            ctx, _ = attention_core(
+                q, ck, cv, keep, c.dropout, _rng_at(lrng, 1), deterministic
+            )
+            sa = _merge_heads(ctx) @ pl["self_attn"]["out_w"] + pl["self_attn"]["out_b"]
+            x = layer_norm(
+                pl["norm1"], x + dropout(sa, c.dropout, _rng_at(lrng, 2), deterministic)
+            )
+            # Cross-attention against precomputed memory K/V.
+            wq = pl["cross_attn"]["in_w"][:, :e]
+            bq = pl["cross_attn"]["in_b"][:e]
+            q2 = _split_heads(x @ wq + bq, c.num_heads)
+            ctx2, probs2 = attention_core(
+                q2, mk, mv, None, c.dropout, _rng_at(lrng, 3), deterministic
+            )
+            ca = _merge_heads(ctx2) @ pl["cross_attn"]["out_w"] + pl["cross_attn"]["out_b"]
+            x = layer_norm(
+                pl["norm2"], x + dropout(ca, c.dropout, _rng_at(lrng, 4), deterministic)
+            )
+            ff = self._ffn(pl, x, _rng_at(lrng, 5), deterministic)
+            x = layer_norm(
+                pl["norm3"], x + dropout(ff, c.dropout, _rng_at(lrng, 6), deterministic)
+            )
+            return x, (ck, cv, jnp.mean(probs2[:, :, 0, :], axis=1))
+
+        n = c.num_layers
+        x, (new_k, new_v, ca_means) = jax.lax.scan(
+            body,
+            x,
+            (p["layers"], cache.k, cache.v, memory.k, memory.v, jnp.arange(n)),
+        )
+        logits = linear(p["fc_out"], x[:, 0, :])
+        alpha = jnp.mean(ca_means, axis=0)  # (B, P)
+        return logits, Cache(new_k, new_v), alpha
+
+    # -- free-running rollout ----------------------------------------------
+    def rollout(
+        self,
+        p: Params,
+        encoder_out: jnp.ndarray,
+        start_id: int,
+        end_id: int,
+        max_decode_len: int,
+        *,
+        rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+        """Greedy KV-cached generation (replaces transformerDecoder.py:110-160).
+        Returns (logits (B,T,V), sequences (B,T), alphas (B,T,P) or None);
+        rows finished earlier are zeroed like the reference's untouched
+        buffers."""
+        memory = self.precompute_memory(p, encoder_out)
+        B = memory.mem.shape[0]
+        cache = self.init_cache(B, max_decode_len + 1, dtype=memory.mem.dtype)
+        tok0 = jnp.full((B,), start_id, dtype=jnp.int32)
+        fin0 = jnp.zeros((B,), dtype=bool)
+
+        def body(carry, t):
+            tok, finished, cache = carry
+            logits_t, cache, alpha = self.decode_step(
+                p, tok, t, cache, memory,
+                rng=None if rng is None else jax.random.fold_in(rng, t),
+                deterministic=deterministic,
+            )
+            pred = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+            act = ~finished
+            out = (
+                jnp.where(act[:, None], logits_t, 0.0),
+                jnp.where(act, pred, 0),
+                jnp.where(act[:, None], alpha, 0.0),
+            )
+            tok = jnp.where(act, pred, tok)
+            finished = finished | (act & (pred == end_id))
+            return (tok, finished, cache), out
+
+        _, (logits, seqs, alphas) = jax.lax.scan(
+            body, (tok0, fin0, cache), jnp.arange(max_decode_len)
+        )
+        logits = jnp.swapaxes(logits, 0, 1)
+        seqs = jnp.swapaxes(seqs, 0, 1)
+        alphas = jnp.swapaxes(alphas, 0, 1) if self.capture_alphas else None
+        return logits, seqs, alphas
