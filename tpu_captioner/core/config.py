@@ -67,6 +67,10 @@ class ModelConfig:
     dropout: float = 0.5
     encoder_dim: int = 1024  # ConvNeXt-Base final channels (encoder.py:24)
     encoded_image_size: int = 7  # adaptive-pool target (encoder.py:15)
+    # Backbone size (ConvNeXt-Base by default; overridable for tests/smaller
+    # variants).  encoder_dim must equal encoder_dims[-1].
+    encoder_depths: tuple = (3, 3, 27, 3)
+    encoder_dims: tuple = (128, 256, 512, 1024)
     num_heads: int = 8  # forced to 6 for 300-dim word2vec (transformerDecoder.py:62-64)
     num_layers: int = 6
     max_len: int = 52  # padded caption length (train.py:44)

@@ -39,14 +39,16 @@ def preprocess_images(images_u8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
 class ConvNeXtEncoder(nn.Module):
     encoded_image_size: int = 7
     dtype: jnp.dtype = jnp.float32
+    depths: tuple = (3, 3, 27, 3)
+    dims: tuple = (128, 256, 512, 1024)
 
     @nn.compact
     def __call__(self, images, *, deterministic: bool = True):
         """images: normalized float NHWC (B, H, W, 3).
-        Returns (B, enc, enc, 1024)."""
-        x = ConvNeXtFeatures(dtype=self.dtype, name="convnext")(
-            images, deterministic=deterministic
-        )
+        Returns (B, enc, enc, dims[-1])."""
+        x = ConvNeXtFeatures(
+            depths=self.depths, dims=self.dims, dtype=self.dtype, name="convnext"
+        )(images, deterministic=deterministic)
         x = adaptive_avg_pool_nhwc(x, self.encoded_image_size)
         return x
 

@@ -1,0 +1,161 @@
+"""CaptionModel: encoder + one decoder family behind a uniform interface.
+
+Bundles the flax ConvNeXt encoder with one of the four functional decoders
+(reference model zoo: decoder.py, lstmNoAttention.py, transformerDecoder.py,
+transformerDecoderAttVis.py) and exposes the two forward modes every
+reference decoder dispatches between (decoder.py:165-172):
+
+- ``tf_forward``  -> (logits (B, L-1, V) aligned to captions[:, 1:], alphas?)
+- ``rollout``     -> (logits (B, T, V), sequences (B, T), alphas?)
+
+plus ``encode`` (uint8 NHWC images -> (B, 7, 7, 1024) float).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_captioner.core.config import ModelConfig
+from tpu_captioner.models.encoder import ConvNeXtEncoder, preprocess_images
+from tpu_captioner.models.lstm import DecoderWithAttention, DecoderWithoutAttention
+from tpu_captioner.models.transformer import TransformerDecoder
+
+Params = Dict[str, Any]
+
+
+@dataclass
+class CaptionModel:
+    cfg: ModelConfig
+    encoder: ConvNeXtEncoder = field(init=False)
+    decoder: Any = field(init=False)
+
+    def __post_init__(self):
+        c = self.cfg
+        dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        self.encoder = ConvNeXtEncoder(
+            encoded_image_size=c.encoded_image_size,
+            dtype=dtype,
+            depths=tuple(c.encoder_depths),
+            dims=tuple(c.encoder_dims),
+        )
+        if c.decoder == "lstm":
+            self.decoder = DecoderWithAttention(c)
+        elif c.decoder == "lstm_no_attention":
+            self.decoder = DecoderWithoutAttention(c)
+        elif c.decoder == "transformer":
+            self.decoder = TransformerDecoder(c, capture_alphas=False)
+        elif c.decoder == "transformer_attvis":
+            self.decoder = TransformerDecoder(c, capture_alphas=True)
+        else:
+            raise ValueError(c.decoder)
+
+    @property
+    def is_lstm(self) -> bool:
+        return self.cfg.decoder in ("lstm", "lstm_no_attention")
+
+    @property
+    def has_attention(self) -> bool:
+        return self.cfg.decoder in ("lstm", "transformer_attvis")
+
+    # -- init ---------------------------------------------------------------
+    def init_params(
+        self,
+        key: jax.Array,
+        image_size: int = 256,
+        pretrained_embeddings: Optional[jnp.ndarray] = None,
+    ) -> Params:
+        ke, kd = jax.random.split(key)
+        dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+        enc_params = self.encoder.init({"params": ke}, dummy)["params"]
+        if self.cfg.decoder in ("transformer", "transformer_attvis"):
+            dec_params = self.decoder.init_params(kd, pretrained_embeddings)
+        else:
+            dec_params = self.decoder.init_params(kd)
+        return {"encoder": enc_params, "decoder": dec_params}
+
+    # -- forward ------------------------------------------------------------
+    def encode(
+        self,
+        params: Params,
+        images_u8: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """uint8 NHWC -> (B, enc, enc, 1024).  Training mode keeps stochastic
+        depth active (the reference calls encoder.train() even while frozen,
+        train.py:242)."""
+        x = preprocess_images(images_u8, dtype=self.encoder.dtype)
+        rngs = {"stochastic_depth": rng} if (rng is not None and not deterministic) else {}
+        return self.encoder.apply(
+            {"params": params["encoder"]}, x, deterministic=deterministic, rngs=rngs
+        )
+
+    def tf_forward(
+        self,
+        params: Params,
+        encoder_out: jnp.ndarray,
+        captions: jnp.ndarray,
+        *,
+        rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """Teacher-forcing logits aligned so logits[:, t] predicts
+        captions[:, t+1]; shape (B, L-1, V)."""
+        p = params["decoder"]
+        c = self.cfg
+        if c.decoder == "lstm":
+            return self.decoder.tf_forward(
+                p, encoder_out, captions, rng=rng, deterministic=deterministic
+            )
+        if c.decoder == "lstm_no_attention":
+            logits = self.decoder.tf_forward(
+                p, encoder_out, captions, rng=rng, deterministic=deterministic
+            )
+            return logits, None
+        kpm = captions == 0  # <pad> id (train.py:271)
+        logits, alphas = self.decoder.tf_forward(
+            p, encoder_out, captions, key_padding_mask=kpm,
+            rng=rng, deterministic=deterministic,
+        )
+        # Transformer predicts at every input position; drop the last so
+        # logits align with targets captions[:, 1:] (pack_padded slices the
+        # same positions, train.py:274-275).
+        logits = logits[:, :-1]
+        alphas = alphas[:, :-1] if alphas is not None else None
+        return logits, alphas
+
+    def rollout(
+        self,
+        params: Params,
+        encoder_out: jnp.ndarray,
+        start_id: int,
+        end_id: int,
+        max_decode_len: int,
+        *,
+        rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+        """Greedy free-running decode -> (logits, sequences, alphas?)."""
+        p = params["decoder"]
+        c = self.cfg
+        if c.decoder == "lstm":
+            logits, alphas, seqs = self.decoder.rollout(
+                p, encoder_out, start_id, end_id, max_decode_len,
+                rng=rng, deterministic=deterministic,
+            )
+            return logits, seqs, alphas
+        if c.decoder == "lstm_no_attention":
+            logits, seqs = self.decoder.rollout(
+                p, encoder_out, start_id, end_id, max_decode_len,
+                rng=rng, deterministic=deterministic,
+            )
+            return logits, seqs, None
+        return self.decoder.rollout(
+            p, encoder_out, start_id, end_id, max_decode_len,
+            rng=rng, deterministic=deterministic,
+        )

@@ -1,0 +1,246 @@
+"""Jitted train/eval steps: losses, gradients, optimizer updates, sharding.
+
+One compiled XLA program per (strategy, fine-tune phase) replaces the
+reference's per-batch Python orchestration (train.py:240-361):
+
+- teacher-forcing loss == CrossEntropyLoss over pack_padded_sequence tokens
+  (train.py:266-276): masked token CE averaged over valid tokens, the mask
+  being (step < caplen-1) — identical numerator/denominator;
+- LSTM adds the doubly-stochastic attention regularizer
+  alpha_c * mean_{B,P}(1 - sum_t alpha)^2 (train.py:269);
+- free-running loss == CrossEntropyLoss over the tokens selected by
+  preprocessDecoderOutputForMetrics (train.py:331-337) via rollout_token_mask;
+- gradient clip is the elementwise +-5 clamp, then Adam (train.py:284-291);
+- frozen-encoder phase: the encoder forward is wrapped in stop_gradient so
+  XLA prunes its backward entirely (the reference merely sets
+  requires_grad=False); fine-tune phase: encoder grads are computed and
+  masked below ``starting_layer`` (encoder.py:29-34 semantics).
+
+Data parallelism: params/state replicated, batch sharded over the 'data'
+mesh axis; XLA inserts the gradient/metric psums over ICI (replacing
+DDP/NCCL all-reduce, trainMultiGPU.py:96-108,384).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_captioner.core.config import TrainConfig
+from tpu_captioner.eval.metrics import (
+    masked_cross_entropy,
+    rollout_token_mask,
+    topk_correct,
+)
+from tpu_captioner.models.encoder import fine_tune_mask
+from tpu_captioner.train.model import CaptionModel
+from tpu_captioner.train.state import TrainState, zero_frozen
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+def tf_loss(
+    model: CaptionModel,
+    params,
+    batch: Dict[str, jnp.ndarray],
+    alpha_c: float,
+    rng: Optional[jax.Array],
+    deterministic: bool,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    caps = batch["captions"]
+    caplens = batch["caplens"]
+    valid = batch["valid"]
+    if rng is not None:
+        enc_rng, dec_rng = jax.random.split(rng)
+    else:
+        enc_rng = dec_rng = None
+    enc_out = model.encode(
+        params, batch["images"], deterministic=deterministic, rng=enc_rng
+    )
+    logits, alphas = model.tf_forward(
+        params, enc_out, caps, rng=dec_rng, deterministic=deterministic
+    )
+    T = logits.shape[1]
+    decode_len = caplens - 1  # don't decode at <end> (decoder.py:91)
+    tmask = (jnp.arange(T)[None, :] < decode_len[:, None]) & valid[:, None]
+    targets = caps[:, 1:].astype(jnp.int32)
+    ce_sum, tokens = masked_cross_entropy(logits, targets, tmask)
+    loss = ce_sum / jnp.maximum(tokens, 1.0)
+    if model.cfg.decoder == "lstm" and alpha_c:
+        am = alphas * tmask[..., None]
+        per_pixel = (1.0 - jnp.sum(am, axis=1)) ** 2  # (B, P)
+        denom = jnp.maximum(jnp.sum(valid), 1) * per_pixel.shape[1]
+        loss = loss + alpha_c * jnp.sum(per_pixel * valid[:, None]) / denom
+    top5 = topk_correct(logits, targets, 5, tmask)
+    return loss, {"loss": loss, "tokens": tokens, "top5_correct": top5}
+
+
+def rollout_loss(
+    model: CaptionModel,
+    params,
+    batch: Dict[str, jnp.ndarray],
+    word_ids: Dict[str, int],
+    alpha_c: float,
+    max_decode_len: int,
+    rng: Optional[jax.Array],
+    deterministic: bool,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    caps = batch["captions"]
+    valid = batch["valid"]
+    if rng is not None:
+        enc_rng, dec_rng = jax.random.split(rng)
+    else:
+        enc_rng = dec_rng = None
+    enc_out = model.encode(
+        params, batch["images"], deterministic=deterministic, rng=enc_rng
+    )
+    logits, seqs, alphas = model.rollout(
+        params,
+        enc_out,
+        word_ids["<start>"],
+        word_ids["<end>"],
+        max_decode_len,
+        rng=dec_rng,
+        deterministic=deterministic,
+    )
+    mask, targets, lengths = rollout_token_mask(
+        seqs, caps, word_ids["<end>"], word_ids["<pad>"], max_decode_len, valid
+    )
+    ce_sum, tokens = masked_cross_entropy(logits, targets, mask)
+    loss = ce_sum / jnp.maximum(tokens, 1.0)
+    if model.cfg.decoder == "lstm" and alpha_c:
+        per_pixel = (1.0 - jnp.sum(alphas, axis=1)) ** 2
+        denom = jnp.maximum(jnp.sum(valid), 1) * per_pixel.shape[1]
+        loss = loss + alpha_c * jnp.sum(per_pixel * valid[:, None]) / denom
+    top5 = topk_correct(logits, targets, 5, mask)
+    aux = {
+        "loss": loss,
+        "tokens": tokens,
+        "top5_correct": top5,
+        "sequences": seqs,
+        "lengths": lengths,
+    }
+    return loss, aux
+
+
+# ---------------------------------------------------------------------------
+# Step factories
+# ---------------------------------------------------------------------------
+
+def _shardings(mesh: Optional[Mesh]):
+    if mesh is None:
+        return None, None
+    return NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+
+
+def make_train_step(
+    model: CaptionModel,
+    cfg: TrainConfig,
+    word_ids: Dict[str, int],
+    dec_opt,
+    enc_opt,
+    *,
+    teacher_forcing: bool = True,
+    train_encoder: bool = False,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+
+    def loss_for(params, batch, rng):
+        if teacher_forcing:
+            return tf_loss(model, params, batch, cfg.alpha_c, rng, False)
+        return rollout_loss(
+            model, params, batch, word_ids, cfg.alpha_c, cfg.max_decode_len, rng, False
+        )
+
+    def step_fn(state: TrainState, batch, rng):
+        if train_encoder:
+            grads, aux = jax.grad(loss_for, has_aux=True)(state.params, batch, rng)
+            enc_mask = fine_tune_mask(
+                state.params["encoder"], True, cfg.starting_layer
+            )
+            enc_grads = zero_frozen(grads["encoder"], enc_mask)
+            enc_updates, enc_opt_state = enc_opt.update(
+                enc_grads, state.enc_opt_state, state.params["encoder"]
+            )
+            enc_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params["encoder"], enc_updates
+            )
+        else:
+            def dec_loss(dec_params, batch, rng):
+                params = {
+                    "encoder": jax.lax.stop_gradient(state.params["encoder"]),
+                    "decoder": dec_params,
+                }
+                return loss_for(params, batch, rng)
+
+            dec_grads, aux = jax.grad(dec_loss, has_aux=True)(
+                state.params["decoder"], batch, rng
+            )
+            grads = {"decoder": dec_grads}
+            enc_params = state.params["encoder"]
+            enc_opt_state = state.enc_opt_state
+
+        dec_updates, dec_opt_state = dec_opt.update(
+            grads["decoder"], state.dec_opt_state, state.params["decoder"]
+        )
+        dec_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params["decoder"], dec_updates
+        )
+        new_state = state.replace(
+            params={"encoder": enc_params, "decoder": dec_params},
+            dec_opt_state=dec_opt_state,
+            enc_opt_state=enc_opt_state,
+            step=state.step + 1,
+        )
+        metrics = {
+            "loss": aux["loss"],
+            "tokens": aux["tokens"],
+            "top5_correct": aux["top5_correct"],
+        }
+        return new_state, metrics
+
+    repl, data_sh = _shardings(mesh)
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    batch_sh = {
+        "images": data_sh, "captions": data_sh, "caplens": data_sh, "valid": data_sh,
+    }
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, batch_sh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(
+    model: CaptionModel,
+    cfg: TrainConfig,
+    word_ids: Dict[str, int],
+    *,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Deterministic free-running eval step (validate/test, train.py:367-441):
+    (params, batch) -> metrics incl. generated sequences + decode lengths."""
+
+    def step_fn(params, batch):
+        _, aux = rollout_loss(
+            model, params, batch, word_ids, cfg.alpha_c, cfg.max_decode_len,
+            rng=None, deterministic=True,
+        )
+        return aux
+
+    repl, data_sh = _shardings(mesh)
+    if mesh is None:
+        return jax.jit(step_fn)
+    batch_sh_all = {
+        "images": data_sh, "captions": data_sh, "caplens": data_sh,
+        "valid": data_sh, "all_captions": data_sh,
+    }
+    return jax.jit(step_fn, in_shardings=(repl, batch_sh_all), out_shardings=repl)
