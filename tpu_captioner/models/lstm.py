@@ -68,7 +68,7 @@ def _attention_from_projected(p, encoder_out, att1, hidden):
     return context, alpha
 
 
-@dataclass
+@dataclass(eq=False)
 class DecoderWithAttention:
     """Config-bound functional module (reference models/decoder.py:34-172)."""
 
@@ -210,7 +210,7 @@ class DecoderWithAttention:
         )
 
 
-@dataclass
+@dataclass(eq=False)
 class DecoderWithoutAttention:
     """No-attention baseline (reference models/lstmNoAttention.py:13-139)."""
 

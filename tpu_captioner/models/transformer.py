@@ -82,7 +82,7 @@ class Cache(NamedTuple):
     v: jnp.ndarray  # (L, B, H, T, Dh)
 
 
-@dataclass
+@dataclass(eq=False)
 class TransformerDecoder:
     cfg: ModelConfig
     capture_alphas: bool = False

@@ -27,7 +27,7 @@ from tpu_captioner.models.transformer import TransformerDecoder
 Params = Dict[str, Any]
 
 
-@dataclass
+@dataclass(eq=False)
 class CaptionModel:
     cfg: ModelConfig
     encoder: ConvNeXtEncoder = field(init=False)
