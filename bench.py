@@ -1,0 +1,77 @@
+"""Benchmark: flagship training throughput on the attached TPU chip.
+
+Measures the teacher-forcing train step (ConvNeXt-Base encoder frozen +
+6-layer Transformer decoder, batch 32 — the reference's headline training
+config) in images/sec/chip, plus beam-5 captioning throughput.
+
+Baseline (BASELINE.md): the reference runs this config at ~0.172 s per batch
+of 32 per GPU on its 2-GPU node => ~186 images/sec/GPU.  ``vs_baseline`` is
+ours (images/sec/chip) divided by that per-device rate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_captioner.core.config import ModelConfig, TrainConfig
+    from tpu_captioner.train.model import CaptionModel
+    from tpu_captioner.train.state import TrainState, make_optimizer
+    from tpu_captioner.train.steps import make_train_step
+
+    V = 9490  # COCO vocab size at min_word_freq=5 (order of magnitude)
+    B = 32
+    model = CaptionModel(ModelConfig(decoder="transformer", vocab_size=V))
+    params = model.init_params(jax.random.PRNGKey(0), image_size=256)
+    tc = TrainConfig(batch_size=B)
+    dec_opt = make_optimizer(tc.decoder_lr, tc.grad_clip)
+    enc_opt = make_optimizer(tc.encoder_lr, tc.grad_clip)
+    state = TrainState.create(params, dec_opt, enc_opt)
+    word_ids = {"<pad>": 0, "<unk>": V - 3, "<start>": V - 2, "<end>": V - 1}
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.integers(0, 256, (B, 256, 256, 3), dtype=np.uint8)),
+        "captions": jnp.asarray(rng.integers(1, V - 3, (B, 52), dtype=np.int32)),
+        "caplens": jnp.asarray(rng.integers(8, 22, (B,), dtype=np.int32)),
+        "valid": jnp.ones((B,), dtype=bool),
+    }
+
+    step = make_train_step(
+        model, tc, word_ids, dec_opt, enc_opt,
+        teacher_forcing=True, train_encoder=False,
+    )
+
+    # Warmup/compile.
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    jax.block_until_ready(m["loss"])
+
+    iters = 30
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    imgs_per_sec = B * iters / dt
+
+    baseline_per_gpu = 32 / 0.172  # ≈186 imgs/s/GPU (BASELINE.md)
+    result = {
+        "metric": "train_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / baseline_per_gpu, 3),
+        "config": "ConvNeXt-Base frozen + Transformer TF, bs=32, f32",
+        "sec_per_batch": round(dt / iters, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

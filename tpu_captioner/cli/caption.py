@@ -1,0 +1,119 @@
+"""CLI: caption a single image with beam search + attention maps
+(reference caption.py __main__, :433-).
+
+    python -m tpu_captioner.cli.caption --img photo.jpg \
+        --checkpoint checkpoints/BEST_checkpoint_... \
+        --wordMap inputFiles/WORDMAP_coco_5_cap_per_img_5_min_word_freq.json \
+        --beamSize 5 --out attention.png
+
+Also accepts a reference .pth.tar checkpoint directly (ported on load), and
+can batch-caption a directory into a captions CSV
+(graphs/generatedCaptions/*.csv format: imageFile,generatedCaption).
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def load_image(path: str, size: int = 256) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    img = img.resize((size, size), Image.BICUBIC)
+    return np.asarray(img, dtype=np.uint8)
+
+
+def build_model_and_params(args, word_map):
+    from tpu_captioner.core.config import ModelConfig
+    from tpu_captioner.train.model import CaptionModel
+
+    decoder = args.decoder or ("lstm" if args.lstmDecoder else "transformer")
+    cfg = ModelConfig(
+        decoder=decoder, vocab_size=len(word_map),
+        embedding_name=args.embeddingName,
+    )
+    model = CaptionModel(cfg)
+
+    if args.checkpoint.endswith(".pth.tar"):
+        from tpu_captioner.models.port_torch import port_reference_checkpoint
+
+        enc_p, dec_p, _ = port_reference_checkpoint(args.checkpoint, decoder)
+        params = {"encoder": enc_p, "decoder": dec_p}
+    else:
+        import jax
+
+        from tpu_captioner.train.checkpoint import restore_checkpoint
+        from tpu_captioner.train.state import TrainState, make_optimizer
+
+        opt = make_optimizer(1e-4)
+        template = TrainState.create(
+            model.init_params(jax.random.PRNGKey(0)), opt, opt
+        )
+        state, _ = restore_checkpoint(args.checkpoint, template)
+        params = state.params
+    return model, params
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--img", "-i", required=True, help="image file or directory")
+    p.add_argument("--checkpoint", "-m", required=True)
+    p.add_argument("--wordMap", "-wm", required=True)
+    p.add_argument("--beamSize", "-b", type=int, default=5)
+    p.add_argument("--dont_smooth", dest="smooth", action="store_false")
+    p.add_argument("--decoder", type=str, default=None)
+    p.add_argument("--lstmDecoder", action="store_true")
+    p.add_argument("--embeddingName", type=str, default=None)
+    p.add_argument("--out", type=str, default=None, help="attention grid PNG")
+    p.add_argument("--csv", type=str, default=None,
+                   help="write imageFile,generatedCaption rows here")
+    args = p.parse_args()
+
+    with open(args.wordMap) as f:
+        word_map = json.load(f)
+    rev = {v: k for k, v in word_map.items()}
+    model, params = build_model_and_params(args, word_map)
+
+    import jax.numpy as jnp
+
+    from tpu_captioner.infer.beam import beam_search
+
+    paths = (
+        [os.path.join(args.img, f) for f in sorted(os.listdir(args.img))]
+        if os.path.isdir(args.img)
+        else [args.img]
+    )
+    rows = []
+    for path in paths:
+        image = load_image(path)
+        res = beam_search(
+            model, params, jnp.asarray(image),
+            beam_size=args.beamSize, max_steps=50,
+            start_id=word_map["<start>"], end_id=word_map["<end>"],
+        )
+        n = int(res.length)
+        seq = np.asarray(res.sequence)[:n]
+        words = [rev[int(i)] for i in seq]
+        caption = " ".join(w for w in words if w not in ("<start>", "<end>"))
+        print(f"{os.path.basename(path)}: {caption}  (score {float(res.score):.3f})")
+        rows.append({"imageFile": os.path.basename(path), "generatedCaption": caption})
+        if args.out and len(paths) == 1:
+            from tpu_captioner.infer.visualize import visualize_att
+
+            visualize_att(
+                image, seq, np.asarray(res.alphas)[:n], rev,
+                smooth=args.smooth, out_path=args.out,
+            )
+    if args.csv:
+        import pandas as pd
+
+        pd.DataFrame(rows).to_csv(args.csv, index=False)
+
+
+if __name__ == "__main__":
+    main()
