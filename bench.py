@@ -12,13 +12,24 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from tpu_captioner.core.config import ModelConfig, TrainConfig
@@ -29,7 +40,12 @@ def main():
     V = 9490  # COCO vocab size at min_word_freq=5 (order of magnitude)
     B = 32
     model = CaptionModel(ModelConfig(decoder="transformer", vocab_size=V))
-    params = model.init_params(jax.random.PRNGKey(0), image_size=256)
+    t0 = time.perf_counter()
+    params = jax.jit(
+        lambda k: model.init_params(k, image_size=256), donate_argnums=()
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    log(f"init: {time.perf_counter() - t0:.1f}s")
     tc = TrainConfig(batch_size=B)
     dec_opt = make_optimizer(tc.decoder_lr, tc.grad_clip)
     enc_opt = make_optimizer(tc.encoder_lr, tc.grad_clip)
@@ -50,16 +66,19 @@ def main():
     )
 
     # Warmup/compile.
+    t0 = time.perf_counter()
     state, m = step(state, batch, jax.random.PRNGKey(0))
     jax.block_until_ready(m["loss"])
+    log(f"train step compile+first run: {time.perf_counter() - t0:.1f}s")
 
-    iters = 30
+    iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
         state, m = step(state, batch, jax.random.PRNGKey(i))
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
     imgs_per_sec = B * iters / dt
+    log(f"{iters} steps: {dt:.2f}s ({dt/iters*1e3:.1f} ms/step)")
 
     baseline_per_gpu = 32 / 0.172  # ≈186 imgs/s/GPU (BASELINE.md)
     result = {
