@@ -47,12 +47,15 @@ def _layer_norm(dtype):
 
 
 class ConvNeXtBlock(nn.Module):
+    """One block; ``sd_prob`` may be a traced scalar (scanned stages pass the
+    per-block stochastic-depth rate as a scan input)."""
+
     dim: int
-    sd_prob: float
+    deterministic: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, sd_prob):
         inp = x
         # Depthwise 7x7 (feature_group_count=dim maps onto XLA's native
         # depthwise conv; no im2col, runs on the VPU/MXU hybrid path).
@@ -71,10 +74,10 @@ class ConvNeXtBlock(nn.Module):
         x = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal02(), name="pw2")(x)
         gamma = self.param("layer_scale", nn.initializers.constant(1e-6), (self.dim,), jnp.float32)
         x = x * gamma.astype(self.dtype)
-        if self.sd_prob > 0.0 and not deterministic:
+        if not self.deterministic:
             # Stochastic depth, row mode (per-sample) — matches torchvision.
             key = self.make_rng("stochastic_depth")
-            survival = 1.0 - self.sd_prob
+            survival = 1.0 - sd_prob
             mask = jax.random.bernoulli(key, survival, (x.shape[0], 1, 1, 1))
             x = jnp.where(mask, x / survival, 0.0).astype(self.dtype)
         return inp + x
@@ -117,6 +120,12 @@ class Stem(nn.Module):
 
 
 class Stage(nn.Module):
+    """A stack of identical-shape blocks, executed as ONE ``nn.scan`` over
+    stacked parameters: the 27-block stage 3 becomes a single rolled loop in
+    HLO instead of 27 inlined copies — ~10x smaller programs and far faster
+    XLA compiles, with identical math (per-block stochastic-depth rates ride
+    along as scan inputs; rngs split per block)."""
+
     dim: int
     depth: int
     sd_probs: Sequence[float]
@@ -124,10 +133,20 @@ class Stage(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        for i in range(self.depth):
-            x = ConvNeXtBlock(
-                self.dim, float(self.sd_probs[i]), self.dtype, name=f"block_{i}"
-            )(x, deterministic=deterministic)
+        def body(block, carry, sd_prob):
+            return block(carry, sd_prob), None
+
+        scan = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "stochastic_depth": True},
+            in_axes=0,
+            length=self.depth,
+        )
+        block = ConvNeXtBlock(
+            self.dim, deterministic=deterministic, dtype=self.dtype, name="blocks"
+        )
+        x, _ = scan(block, x, jnp.asarray(self.sd_probs, jnp.float32))
         return x
 
 

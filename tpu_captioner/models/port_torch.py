@@ -98,23 +98,30 @@ def port_convnext_features(
         }
     }
     for s, depth in enumerate(depths):
-        stage: Dict[str, Any] = {}
+        blocks = []
         for b in range(depth):
             base = f"{p}{2 * s + 1}.{b}"
-            stage[f"block_{b}"] = {
-                "dwconv": _conv(sd, f"{base}.block.0"),
-                "LayerNorm_0": _flax_ln(sd, f"{base}.block.2"),
-                "pw1": {
-                    "kernel": jnp.asarray(_np(sd[f"{base}.block.3.weight"]).T),
-                    "bias": jnp.asarray(_np(sd[f"{base}.block.3.bias"])),
-                },
-                "pw2": {
-                    "kernel": jnp.asarray(_np(sd[f"{base}.block.5.weight"]).T),
-                    "bias": jnp.asarray(_np(sd[f"{base}.block.5.bias"])),
-                },
-                "layer_scale": jnp.asarray(_np(sd[f"{base}.layer_scale"]).reshape(-1)),
-            }
-        out[f"features_{2 * s + 1}"] = stage
+            blocks.append(
+                {
+                    "dwconv": _conv(sd, f"{base}.block.0"),
+                    "LayerNorm_0": _flax_ln(sd, f"{base}.block.2"),
+                    "pw1": {
+                        "kernel": jnp.asarray(_np(sd[f"{base}.block.3.weight"]).T),
+                        "bias": jnp.asarray(_np(sd[f"{base}.block.3.bias"])),
+                    },
+                    "pw2": {
+                        "kernel": jnp.asarray(_np(sd[f"{base}.block.5.weight"]).T),
+                        "bias": jnp.asarray(_np(sd[f"{base}.block.5.bias"])),
+                    },
+                    "layer_scale": jnp.asarray(
+                        _np(sd[f"{base}.layer_scale"]).reshape(-1)
+                    ),
+                }
+            )
+        # Stages run as nn.scan over stacked block params (convnext.py Stage).
+        out[f"features_{2 * s + 1}"] = {
+            "blocks": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+        }
         if s < len(depths) - 1:
             out[f"features_{2 * s + 2}"] = {
                 "LayerNorm_0": _flax_ln(sd, f"{p}{2 * s + 2}.0"),
