@@ -86,11 +86,14 @@ class CaptionDataset:
         return self.captions.shape[1]
 
     def gather(self, indices: np.ndarray) -> Batch:
-        """Materialise a batch for caption indices (memmap gather)."""
+        """Materialise a batch for caption indices (memmap gather; C++
+        thread-pool fast path when the native lib is built)."""
+        from tpu_captioner.native.gather import gather_batch_native
+
         img_idx = indices // self.cpi
-        images = np.ascontiguousarray(self.images[img_idx])
-        captions = self.captions[indices]
-        caplens = self.caplens[indices]
+        images, captions, caplens = gather_batch_native(
+            self.images, self.captions, self.caplens, img_idx, indices
+        )
         valid = np.ones(len(indices), dtype=bool)
         if self.split == "TRAIN":
             return Batch(images, captions, caplens, valid)

@@ -37,7 +37,7 @@ from tpu_captioner.core.prng import root_key, step_key
 from tpu_captioner.data.dataset import CaptionDataset
 from tpu_captioner.data.loader import ShardedLoader
 from tpu_captioner.data.vocab import load_word_map, special_ids
-from tpu_captioner.eval.bleu import bleu_1_to_4
+from tpu_captioner.native.bleu_native import bleu_1_to_4
 from tpu_captioner.eval.metrics import AverageMeter
 from tpu_captioner.train.checkpoint import (
     checkpoint_name,
