@@ -81,6 +81,9 @@ class ModelConfig:
     # Numerics: parity mode computes in f32 end-to-end; fast mode runs the
     # encoder/decoder matmuls in bf16 on the MXU with f32 accumulation.
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # Pallas kernels for the hot encoder ops: 'auto' enables them on TPU
+    # backends only (CPU tests run the XLA fallbacks).
+    use_pallas: str = "auto"  # 'auto' | 'on' | 'off'
 
     def __post_init__(self):
         if self.decoder not in DECODER_TYPES:
@@ -110,6 +113,11 @@ class TrainConfig:
     grad_clip: float = 5.0  # elementwise clamp, not norm clip (utils/utils.py:183-192)
     alpha_c: float = 1.0  # doubly-stochastic attention regularizer (train.py:55)
     teacher_forcing: bool = True
+    # Scheduled sampling (Bengio et al. 2015): probability of feeding the
+    # ground-truth token during free-running TRAINING rollouts.  0.0 = the
+    # reference's pure free-running mode; only used when teacher_forcing is
+    # False.  (Capability called out in the rebuild north star.)
+    scheduled_sampling_prob: float = 0.0
     max_decode_len: int = 51  # free-running rollout cap (train.py:329)
     fine_tune_epoch: int = 20  # encoder unlock epoch (train.py:161)
     starting_layer: int = 5  # first trainable ConvNeXt child (train.py:63)

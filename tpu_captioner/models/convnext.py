@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tpu_captioner.models.torch_init import trunc_normal02
+from tpu_captioner.ops.dwconv import depthwise_conv7x7_nhwc
 
 # (depths, dims) for ConvNeXt-Base; stochastic-depth total rate 0.5.
 BASE_DEPTHS = (3, 3, 27, 3)
@@ -46,28 +47,40 @@ def _layer_norm(dtype):
     return nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, param_dtype=jnp.float32)
 
 
+class DWConv7x7(nn.Module):
+    """Depthwise 7x7 with nn.Conv-compatible params (kernel (7,7,1,C), bias);
+    computes via the Pallas kernel (ops/dwconv.py) on TPU or XLA's grouped
+    conv elsewhere."""
+
+    dim: int
+    use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", trunc_normal02(), (7, 7, 1, self.dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        y = depthwise_conv7x7_nhwc(
+            x.astype(self.dtype),
+            kernel.reshape(7, 7, self.dim).astype(self.dtype),
+            self.use_pallas,
+        )
+        return y + bias.astype(self.dtype)
+
+
 class ConvNeXtBlock(nn.Module):
     """One block; ``sd_prob`` may be a traced scalar (scanned stages pass the
     per-block stochastic-depth rate as a scan input)."""
 
     dim: int
     deterministic: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, sd_prob):
         inp = x
-        # Depthwise 7x7 (feature_group_count=dim maps onto XLA's native
-        # depthwise conv; no im2col, runs on the VPU/MXU hybrid path).
-        x = nn.Conv(
-            self.dim,
-            (7, 7),
-            padding=3,
-            feature_group_count=self.dim,
-            dtype=self.dtype,
-            kernel_init=trunc_normal02(),
-            name="dwconv",
-        )(x)
+        x = DWConv7x7(self.dim, self.use_pallas, self.dtype, name="dwconv")(x)
         x = _layer_norm(self.dtype)(x).astype(self.dtype)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, kernel_init=trunc_normal02(), name="pw1")(x)
         x = nn.gelu(x, approximate=False)
@@ -129,6 +142,7 @@ class Stage(nn.Module):
     dim: int
     depth: int
     sd_probs: Sequence[float]
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -144,7 +158,8 @@ class Stage(nn.Module):
             length=self.depth,
         )
         block = ConvNeXtBlock(
-            self.dim, deterministic=deterministic, dtype=self.dtype, name="blocks"
+            self.dim, deterministic=deterministic, use_pallas=self.use_pallas,
+            dtype=self.dtype, name="blocks"
         )
         x, _ = scan(block, x, jnp.asarray(self.sd_probs, jnp.float32))
         return x
@@ -156,6 +171,7 @@ class ConvNeXtFeatures(nn.Module):
     depths: Sequence[int] = BASE_DEPTHS
     dims: Sequence[int] = BASE_DIMS
     sd_rate: float = BASE_SD_RATE
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -168,7 +184,8 @@ class ConvNeXtFeatures(nn.Module):
             if s > 0:
                 x = Downsample(dim, self.dtype, name=f"features_{2 * s}")(x)
             x = Stage(
-                dim, depth, sd[off : off + depth], self.dtype, name=f"features_{2 * s + 1}"
+                dim, depth, sd[off : off + depth], self.use_pallas, self.dtype,
+                name=f"features_{2 * s + 1}"
             )(x, deterministic=deterministic)
             off += depth
         return x  # (B, H/32, W/32, dims[-1])

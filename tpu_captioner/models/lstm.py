@@ -165,11 +165,18 @@ class DecoderWithAttention:
         *,
         rng: Optional[jax.Array] = None,
         deterministic: bool = True,
+        teacher_tokens: Optional[jnp.ndarray] = None,
+        teacher_prob: float = 0.0,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Greedy decode (decoder.py:119-163).  Returns
         (logits (B,T,V), alphas (B,T,P), sequences (B,T) int32); rows are
         zeroed at steps after their ``<end>``, matching the reference's
-        untouched preallocated buffers."""
+        untouched preallocated buffers.
+
+        Scheduled sampling: with ``teacher_tokens`` (B, >=T+1) and
+        ``teacher_prob`` p, each step's input is the ground-truth token with
+        probability p and the model's argmax otherwise (Bengio et al. 2015) —
+        p=0 is the reference's free-running mode."""
         c = self.cfg
         enc = _flatten_pixels(encoder_out)
         att1 = linear(p["attention"]["encoder_att"], enc)
@@ -180,12 +187,19 @@ class DecoderWithAttention:
         T = max_decode_len
         rngs = (
             jax.random.split(rng, T)
-            if (rng is not None and not deterministic)
+            if rng is not None
             else jnp.zeros((T, 2), dtype=jnp.uint32)
         )
+        steps = jnp.arange(T)
 
-        def body(carry, rng_t):
+        def body(carry, xs):
+            rng_t, t = xs
             h, cc, tok, finished = carry
+            if teacher_tokens is not None and teacher_prob > 0.0:
+                use_teacher = jax.random.bernoulli(
+                    jax.random.fold_in(rng_t, 1), teacher_prob, (B,)
+                )
+                tok = jnp.where(use_teacher, teacher_tokens[:, t], tok)
             emb = p["embedding"][tok]
             h_new, c_new, alpha = self.step(p, h, cc, emb, enc, att1)
             hid = dropout(h_new, c.dropout, rng_t, deterministic)
@@ -202,7 +216,9 @@ class DecoderWithAttention:
             finished = finished | (act & (pred == end_id))
             return (h, cc, tok, finished), (logits_out, alpha_out, seq_out)
 
-        _, (logits, alphas, seqs) = jax.lax.scan(body, (h0, c0, tok0, fin0), rngs)
+        _, (logits, alphas, seqs) = jax.lax.scan(
+            body, (h0, c0, tok0, fin0), (rngs, steps)
+        )
         return (
             jnp.swapaxes(logits, 0, 1),
             jnp.swapaxes(alphas, 0, 1),
@@ -278,6 +294,8 @@ class DecoderWithoutAttention:
         *,
         rng: Optional[jax.Array] = None,
         deterministic: bool = True,
+        teacher_tokens: Optional[jnp.ndarray] = None,
+        teacher_prob: float = 0.0,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         c = self.cfg
         enc = _flatten_pixels(encoder_out)
@@ -288,12 +306,18 @@ class DecoderWithoutAttention:
         T = max_decode_len
         rngs = (
             jax.random.split(rng, T)
-            if (rng is not None and not deterministic)
+            if rng is not None
             else jnp.zeros((T, 2), dtype=jnp.uint32)
         )
 
-        def body(carry, rng_t):
+        def body(carry, xs):
+            rng_t, t = xs
             h, cc, tok, finished = carry
+            if teacher_tokens is not None and teacher_prob > 0.0:
+                use_teacher = jax.random.bernoulli(
+                    jax.random.fold_in(rng_t, 1), teacher_prob, (B,)
+                )
+                tok = jnp.where(use_teacher, teacher_tokens[:, t], tok)
             h_new, c_new = lstm_cell(p["lstm"], p["embedding"][tok], h, cc)
             hid = dropout(h_new, c.dropout, rng_t, deterministic)
             logits_t = linear(p["fc"], hid)
@@ -307,5 +331,7 @@ class DecoderWithoutAttention:
             finished = finished | (act & (pred == end_id))
             return (h, cc, tok, finished), (logits_out, seq_out)
 
-        _, (logits, seqs) = jax.lax.scan(body, (h0, c0, tok0, fin0), rngs)
+        _, (logits, seqs) = jax.lax.scan(
+            body, (h0, c0, tok0, fin0), (rngs, jnp.arange(T))
+        )
         return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(seqs, 0, 1)

@@ -310,11 +310,14 @@ class TransformerDecoder:
         *,
         rng: Optional[jax.Array] = None,
         deterministic: bool = True,
+        teacher_tokens: Optional[jnp.ndarray] = None,
+        teacher_prob: float = 0.0,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
         """Greedy KV-cached generation (replaces transformerDecoder.py:110-160).
         Returns (logits (B,T,V), sequences (B,T), alphas (B,T,P) or None);
         rows finished earlier are zeroed like the reference's untouched
-        buffers."""
+        buffers.  ``teacher_tokens``/``teacher_prob`` enable scheduled
+        sampling (per-step coin flip between ground truth and model argmax)."""
         memory = self.precompute_memory(p, encoder_out)
         B = memory.mem.shape[0]
         cache = self.init_cache(B, max_decode_len + 1, dtype=memory.mem.dtype)
@@ -323,6 +326,13 @@ class TransformerDecoder:
 
         def body(carry, t):
             tok, finished, cache = carry
+            if teacher_tokens is not None and teacher_prob > 0.0 and rng is not None:
+                use_teacher = jax.random.bernoulli(
+                    jax.random.fold_in(jax.random.fold_in(rng, t), 777),
+                    teacher_prob,
+                    (B,),
+                )
+                tok = jnp.where(use_teacher, teacher_tokens[:, t], tok)
             logits_t, cache, alpha = self.decode_step(
                 p, tok, t, cache, memory,
                 rng=None if rng is None else jax.random.fold_in(rng, t),

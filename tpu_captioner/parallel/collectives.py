@@ -1,0 +1,51 @@
+"""Multi-host collective helpers.
+
+Replaces the reference's hand-rolled DDP communication
+(trainMultiGPU.py:96-131, 325-327):
+
+- gradient/metric reduction needs NO helper here — it is implicit in the
+  jitted step's sharding (XLA emits the psums over ICI);
+- BLEU corpus assembly across hosts: the reference pickles variable-length
+  ref/hyp lists and all_gathers padded byte tensors
+  (gather_all_data, trainMultiGPU.py:110-131) — a wart.  Here hypotheses are
+  already fixed-shape (B, T) int arrays + length vectors, so a plain
+  ``process_allgather`` moves them;
+- early-stop counter broadcast (trainMultiGPU.py:325-327).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import numpy as np
+
+
+def is_multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def is_coordinator() -> bool:
+    return jax.process_index() == 0
+
+
+def gather_eval_outputs(
+    sequences: np.ndarray, lengths: np.ndarray, all_captions: np.ndarray,
+    valid: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """All-gather fixed-shape eval outputs across hosts (no-op single-host)."""
+    if not is_multiprocess():
+        return sequences, lengths, all_captions, valid
+    from jax.experimental import multihost_utils as mh
+
+    out = mh.process_allgather((sequences, lengths, all_captions, valid))
+    return tuple(np.concatenate(x, axis=0) for x in out)
+
+
+def broadcast_scalar(value: float) -> float:
+    """Broadcast a host scalar from process 0 (== dist.broadcast src=0)."""
+    if not is_multiprocess():
+        return value
+    from jax.experimental import multihost_utils as mh
+
+    return float(mh.broadcast_one_to_all(np.asarray(value)))

@@ -79,6 +79,10 @@ class Trainer:
     data_name: str
     mesh: Any = None
     verbose: bool = True
+    # Optional jax.profiler trace dir: captures a device trace of a few train
+    # steps in the first epoch (upgrade over the reference's wall-clock-only
+    # AverageMeters, SURVEY.md §5 tracing).
+    profile_dir: Optional[str] = None
 
     # populated in __post_init__
     model: CaptionModel = field(init=False)
@@ -168,10 +172,17 @@ class Trainer:
         device_metrics = []  # fetched lazily at epoch end (no per-step sync)
         start = time.time()
         n_batches = len(self.train_loader)
+        profiling = self.profile_dir is not None and epoch == self.start_epoch
         for i, batch in enumerate(self.train_loader.epoch(epoch)):
             data_time.update(time.time() - start)
+            if profiling and i == 2:  # skip compile/warmup steps
+                jax.profiler.start_trace(self.profile_dir)
             rng = step_key(self._root, "dropout", epoch, i)
             self.state, metrics = step_fn(self.state, batch, rng)
+            if profiling and i == 6:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
             device_metrics.append(metrics)
             batch_time.update(time.time() - start)
             start = time.time()
@@ -208,15 +219,27 @@ class Trainer:
         device_metrics = []
         references, hypotheses = [], []
         sid, pid = self.word_ids["<start>"], self.word_ids["<pad>"]
+        from tpu_captioner.parallel.collectives import (
+            broadcast_scalar,
+            gather_eval_outputs,
+            is_coordinator,
+        )
+
         for batch in loader.epoch(epoch):
             aux = eval_step(self.state.params, batch)
             seqs, lengths = jax.device_get((aux["sequences"], aux["lengths"]))
             all_caps, valid = jax.device_get((batch["all_captions"], batch["valid"]))
-            refs, hyps = build_references_and_hypotheses(
-                all_caps, seqs, lengths, valid, sid, pid
+            # Multi-host: all-gather the fixed-shape outputs (replaces the
+            # reference's pickle-based gather_all_data, trainMultiGPU.py:110).
+            seqs, lengths, all_caps, valid = gather_eval_outputs(
+                seqs, lengths, all_caps, valid
             )
-            references.extend(refs)
-            hypotheses.extend(hyps)
+            if is_coordinator():
+                refs, hyps = build_references_and_hypotheses(
+                    all_caps, seqs, lengths, valid, sid, pid
+                )
+                references.extend(refs)
+                hypotheses.extend(hyps)
             device_metrics.append(
                 {k: aux[k] for k in ("loss", "tokens", "top5_correct")}
             )
@@ -225,7 +248,12 @@ class Trainer:
         losses = np.array([m["loss"] for m in fetched])
         top5 = np.array([m["top5_correct"] for m in fetched])
         total_tokens = max(tokens.sum(), 1.0)
-        b1, b2, b3, b4 = bleu_1_to_4(references, hypotheses)
+        if is_coordinator():
+            b1, b2, b3, b4 = bleu_1_to_4(references, hypotheses)
+        else:
+            b1 = b2 = b3 = b4 = 0.0
+        # Keep early-stopping in lockstep across hosts (trainMultiGPU.py:325).
+        b1, b2, b3, b4 = (broadcast_scalar(b) for b in (b1, b2, b3, b4))
         out = {
             "loss": float((losses * tokens).sum() / total_tokens),
             "top5": float(100.0 * top5.sum() / total_tokens),
@@ -300,6 +328,8 @@ class Trainer:
             else:
                 self.epochs_since_improvement = 0
 
+            from tpu_captioner.parallel.collectives import is_coordinator
+
             name = checkpoint_name(
                 self.data_name,
                 self.model.is_lstm,
@@ -307,6 +337,8 @@ class Trainer:
                 tc.encoder_lr,
                 mc.embedding_name,
             )
+            if not is_coordinator():
+                continue  # rank-0-only checkpoints (trainMultiGPU.py:295)
             save_checkpoint(
                 tc.checkpoint_dir,
                 name,

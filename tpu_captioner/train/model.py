@@ -36,11 +36,16 @@ class CaptionModel:
     def __post_init__(self):
         c = self.cfg
         dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        if c.use_pallas == "auto":
+            use_pallas = jax.default_backend() not in ("cpu",)
+        else:
+            use_pallas = c.use_pallas in ("on", True)
         self.encoder = ConvNeXtEncoder(
             encoded_image_size=c.encoded_image_size,
             dtype=dtype,
             depths=tuple(c.encoder_depths),
             dims=tuple(c.encoder_dims),
+            use_pallas=use_pallas,
         )
         if c.decoder == "lstm":
             self.decoder = DecoderWithAttention(c)
@@ -139,23 +144,25 @@ class CaptionModel:
         *,
         rng: Optional[jax.Array] = None,
         deterministic: bool = True,
+        teacher_tokens: Optional[jnp.ndarray] = None,
+        teacher_prob: float = 0.0,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
-        """Greedy free-running decode -> (logits, sequences, alphas?)."""
+        """Greedy free-running decode -> (logits, sequences, alphas?).
+        ``teacher_tokens``/``teacher_prob`` enable scheduled sampling."""
         p = params["decoder"]
         c = self.cfg
+        kw = dict(rng=rng, deterministic=deterministic,
+                  teacher_tokens=teacher_tokens, teacher_prob=teacher_prob)
         if c.decoder == "lstm":
             logits, alphas, seqs = self.decoder.rollout(
-                p, encoder_out, start_id, end_id, max_decode_len,
-                rng=rng, deterministic=deterministic,
+                p, encoder_out, start_id, end_id, max_decode_len, **kw
             )
             return logits, seqs, alphas
         if c.decoder == "lstm_no_attention":
             logits, seqs = self.decoder.rollout(
-                p, encoder_out, start_id, end_id, max_decode_len,
-                rng=rng, deterministic=deterministic,
+                p, encoder_out, start_id, end_id, max_decode_len, **kw
             )
             return logits, seqs, None
         return self.decoder.rollout(
-            p, encoder_out, start_id, end_id, max_decode_len,
-            rng=rng, deterministic=deterministic,
+            p, encoder_out, start_id, end_id, max_decode_len, **kw
         )

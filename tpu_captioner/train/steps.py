@@ -89,6 +89,7 @@ def rollout_loss(
     max_decode_len: int,
     rng: Optional[jax.Array],
     deterministic: bool,
+    scheduled_sampling_prob: float = 0.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     caps = batch["captions"]
     valid = batch["valid"]
@@ -107,6 +108,8 @@ def rollout_loss(
         max_decode_len,
         rng=dec_rng,
         deterministic=deterministic,
+        teacher_tokens=caps if scheduled_sampling_prob > 0 else None,
+        teacher_prob=scheduled_sampling_prob,
     )
     mask, targets, lengths = rollout_token_mask(
         seqs, caps, word_ids["<end>"], word_ids["<pad>"], max_decode_len, valid
@@ -155,7 +158,8 @@ def make_train_step(
         if teacher_forcing:
             return tf_loss(model, params, batch, cfg.alpha_c, rng, False)
         return rollout_loss(
-            model, params, batch, word_ids, cfg.alpha_c, cfg.max_decode_len, rng, False
+            model, params, batch, word_ids, cfg.alpha_c, cfg.max_decode_len,
+            rng, False, cfg.scheduled_sampling_prob,
         )
 
     def step_fn(state: TrainState, batch, rng):
