@@ -205,11 +205,15 @@ def build_synthetic_dataset(
     max_len: int = 50,
     image_size: int = 256,
     seed_: int = 0,
+    learnable: bool = False,
 ) -> Dict[str, int]:
     """Generate a tiny random dataset in the framework's record format.
 
     Used by tests and by bench.py when no real COCO/Flickr8k artifacts exist
     on the machine (the reference assumed a cluster-mounted dataset).
+    With ``learnable=True`` each image's captions are a deterministic
+    function of its index (all cpi copies identical), so a model can overfit
+    the image->caption mapping — used by the learning-sanity test.
     """
     rng = np.random.default_rng(seed_)
     num_images = num_images or {"TRAIN": 32, "VAL": 8, "TEST": 8}
@@ -223,9 +227,14 @@ def build_synthetic_dataset(
         images = rng.integers(0, 256, size=(n, image_size, image_size, 3), dtype=np.uint8)
         np.save(os.path.join(output_folder, f"{split}_IMAGES_{base}.npy"), images)
         caps, lens = [], []
-        for _ in range(n * captions_per_image):
-            L = int(rng.integers(4, min(18, max_len)))
-            toks = [words[int(rng.integers(0, vocab_words))] for _ in range(L)]
+        for i in range(n * captions_per_image):
+            if learnable:
+                img = i // captions_per_image
+                L = 4 + (img % 4)
+                toks = [words[(img * 7 + 3 * j) % vocab_words] for j in range(L)]
+            else:
+                L = int(rng.integers(4, min(18, max_len)))
+                toks = [words[int(rng.integers(0, vocab_words))] for _ in range(L)]
             ids, c_len = encode_caption(toks, word_map, max_len)
             caps.append(ids)
             lens.append(c_len)
