@@ -1,0 +1,136 @@
+"""Extended benchmark: all four reference throughput configs on one chip.
+
+Measures (cf. BASELINE.md throughput table, 2-GPU reference numbers):
+- TF train step, frozen encoder      (ref ~0.172 s/batch-of-32 per GPU)
+- TF train step, fine-tuning 5-7     (ref ~0.40-0.44 s/batch)
+- free-running greedy eval, 51 steps (ref no-TF train ~0.73 s/batch)
+- beam-5 captioning                  (ref: one image per Python call, CPU)
+
+Prints one JSON line per metric.  `bench.py` remains the driver's single
+headline metric.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(f"[bench_full] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from tpu_captioner.core.config import ModelConfig, TrainConfig
+    from tpu_captioner.infer.beam import beam_search_batch
+    from tpu_captioner.train.model import CaptionModel
+    from tpu_captioner.train.state import TrainState, make_optimizer
+    from tpu_captioner.train.steps import make_eval_step, make_train_step
+
+    V, B = 9490, 32
+    model = CaptionModel(ModelConfig(decoder="transformer", vocab_size=V))
+    params = jax.jit(lambda k: model.init_params(k, image_size=256))(
+        jax.random.PRNGKey(0)
+    )
+    jax.block_until_ready(params)
+    tc = TrainConfig(batch_size=B, starting_layer=5)
+    dec_opt = make_optimizer(tc.decoder_lr, tc.grad_clip)
+    enc_opt = make_optimizer(tc.encoder_lr, tc.grad_clip)
+    wid = {"<pad>": 0, "<unk>": V - 3, "<start>": V - 2, "<end>": V - 1}
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.integers(0, 256, (B, 256, 256, 3), dtype=np.uint8)),
+        "captions": jnp.asarray(rng.integers(1, V - 3, (B, 52), dtype=np.int32)),
+        "caplens": jnp.asarray(rng.integers(8, 22, (B,), dtype=np.int32)),
+        "valid": jnp.ones((B,), dtype=bool),
+    }
+    eval_batch = dict(batch, all_captions=jnp.zeros((B, 5, 52), jnp.int32))
+    results = []
+
+    def emit(metric, sec_per_batch, ref_sec_per_batch, unit="sec/batch32"):
+        row = {
+            "metric": metric,
+            "value": round(sec_per_batch, 4),
+            "unit": unit,
+            "vs_baseline": round(ref_sec_per_batch / sec_per_batch, 2),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    # 1) TF train, frozen encoder.
+    for train_encoder, name, ref in [
+        (False, "tf_train_frozen_encoder", 0.172),
+        (True, "tf_train_finetune_5", 0.42),
+    ]:
+        state = TrainState.create(params, dec_opt, enc_opt)
+        step = make_train_step(
+            model, tc, wid, dec_opt, enc_opt,
+            teacher_forcing=True, train_encoder=train_encoder,
+        )
+        t0 = time.perf_counter()
+        state, m = step(state, batch, jax.random.PRNGKey(0))
+        jax.block_until_ready(m["loss"])
+        log(f"{name} compile+first: {time.perf_counter() - t0:.1f}s")
+        n = 20
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, m = step(state, batch, jax.random.PRNGKey(i))
+        jax.block_until_ready(m["loss"])
+        emit(name, (time.perf_counter() - t0) / n, ref)
+        del state
+
+    # 2) Free-running greedy eval (51 cached decode steps).
+    eval_step = make_eval_step(model, tc, wid)
+    t0 = time.perf_counter()
+    aux = eval_step(params, eval_batch)
+    jax.block_until_ready(aux["loss"])
+    log(f"eval compile+first: {time.perf_counter() - t0:.1f}s")
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        aux = eval_step(params, eval_batch)
+    jax.block_until_ready(aux["loss"])
+    emit("greedy_rollout_eval", (time.perf_counter() - t0) / n, 0.73)
+
+    # 3) Beam-5 captioning throughput.
+    t0 = time.perf_counter()
+    res = beam_search_batch(
+        model, params, batch["images"],
+        beam_size=5, max_steps=50, start_id=V - 2, end_id=V - 1,
+    )
+    jax.block_until_ready(res.sequence)
+    log(f"beam compile+first: {time.perf_counter() - t0:.1f}s")
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        res = beam_search_batch(
+            model, params, batch["images"],
+            beam_size=5, max_steps=50, start_id=V - 2, end_id=V - 1,
+        )
+    jax.block_until_ready(res.sequence)
+    dt = (time.perf_counter() - t0) / n
+    row = {
+        "metric": "beam5_captions_per_sec",
+        "value": round(B / dt, 2),
+        "unit": "captions/sec",
+        "vs_baseline": None,
+    }
+    print(json.dumps(row), flush=True)
+
+    with open("BENCH_FULL.json", "w") as f:
+        json.dump(results + [row], f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
