@@ -143,6 +143,7 @@ class Stage(nn.Module):
     depth: int
     sd_probs: Sequence[float]
     use_pallas: bool = False
+    remat: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -150,6 +151,12 @@ class Stage(nn.Module):
         def body(block, carry, sd_prob):
             return block(carry, sd_prob), None
 
+        if self.remat:
+            # Rematerialize each block in the backward pass: fine-tuning at
+            # bs=32/f32 otherwise has to keep ~9 GB of block activations
+            # alive (stage-1 MLP intermediates are 268 MB each) and OOMs a
+            # 16 GB chip; with remat only the block inputs are saved.
+            body = nn.remat(body, prevent_cse=False)
         scan = nn.scan(
             body,
             variable_axes={"params": 0},
