@@ -73,7 +73,11 @@ def main():
         (False, "tf_train_frozen_encoder", 0.172),
         (True, "tf_train_finetune_5", 0.42),
     ]:
-        state = TrainState.create(params, dec_opt, enc_opt)
+        # Fresh param copies: the step donates its state, and `params` must
+        # survive for the later eval/beam phases.
+        state = TrainState.create(
+            jax.tree_util.tree_map(jnp.copy, params), dec_opt, enc_opt
+        )
         step = make_train_step(
             model, tc, wid, dec_opt, enc_opt,
             teacher_forcing=True, train_encoder=train_encoder,

@@ -190,8 +190,17 @@ def make_train_step(
             enc_params = state.params["encoder"]
             enc_opt_state = state.enc_opt_state
 
+        dec_grads = grads["decoder"]
+        if (
+            model.cfg.embedding_path is not None
+            and not model.cfg.fine_tune_embeddings
+        ):
+            # nn.Embedding.from_pretrained(freeze=True) semantics
+            # (transformerDecoder.py:74): pretrained embeddings stay fixed.
+            dec_grads = dict(dec_grads)
+            dec_grads["embedding"] = jnp.zeros_like(dec_grads["embedding"])
         dec_updates, dec_opt_state = dec_opt.update(
-            grads["decoder"], state.dec_opt_state, state.params["decoder"]
+            dec_grads, state.dec_opt_state, state.params["decoder"]
         )
         dec_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params["decoder"], dec_updates
