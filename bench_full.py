@@ -38,7 +38,10 @@ def main():
     from tpu_captioner.train.steps import make_eval_step, make_train_step
 
     V, B = 9490, 32
-    model = CaptionModel(ModelConfig(decoder="transformer", vocab_size=V))
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+    model = CaptionModel(
+        ModelConfig(decoder="transformer", vocab_size=V, compute_dtype=dtype)
+    )
     params = jax.jit(lambda k: model.init_params(k, image_size=256))(
         jax.random.PRNGKey(0)
     )
@@ -132,8 +135,32 @@ def main():
     }
     print(json.dumps(row), flush=True)
 
+    # 4) LSTM+attention TF train (ref ~0.212 s/batch, BASELINE.md).
+    lstm_model = CaptionModel(
+        ModelConfig(decoder="lstm", vocab_size=V, compute_dtype=dtype)
+    )
+    lstm_params = jax.jit(lambda k: lstm_model.init_params(k, image_size=256))(
+        jax.random.PRNGKey(0)
+    )
+    state = TrainState.create(lstm_params, dec_opt, enc_opt)
+    step = make_train_step(
+        lstm_model, tc, wid, dec_opt, enc_opt,
+        teacher_forcing=True, train_encoder=False,
+    )
+    t0 = time.perf_counter()
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    jax.block_until_ready(m["loss"])
+    log(f"lstm compile+first: {time.perf_counter() - t0:.1f}s")
+    n = 20
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+    jax.block_until_ready(m["loss"])
+    emit("tf_train_lstm_attention", (time.perf_counter() - t0) / n, 0.212)
+
+    results.append(row)
     with open("BENCH_FULL.json", "w") as f:
-        json.dump(results + [row], f, indent=2)
+        json.dump(results, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -208,7 +208,9 @@ class TransformerDecoder:
             return x, out
 
         n = c.num_layers
-        x, ca_means = jax.lax.scan(body, x, (p["layers"], jnp.arange(n)))
+        x, ca_means = jax.lax.scan(
+            body, x, (p["layers"], jnp.arange(n)), unroll=True
+        )
         logits = linear(p["fc_out"], x)
         alphas = jnp.mean(ca_means, axis=0) if self.capture_alphas else None
         return logits, alphas
@@ -294,6 +296,7 @@ class TransformerDecoder:
             body,
             x,
             (p["layers"], cache.k, cache.v, memory.k, memory.v, jnp.arange(n)),
+            unroll=True,
         )
         logits = linear(p["fc_out"], x[:, 0, :])
         alpha = jnp.mean(ca_means, axis=0)  # (B, P)
