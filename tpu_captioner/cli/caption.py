@@ -33,10 +33,21 @@ def build_model_and_params(args, word_map):
     from tpu_captioner.train.model import CaptionModel
 
     decoder = args.decoder or ("lstm" if args.lstmDecoder else "transformer")
-    cfg = ModelConfig(
-        decoder=decoder, vocab_size=len(word_map),
-        embedding_name=args.embeddingName,
-    )
+    cfg = None
+    meta_path = os.path.join(args.checkpoint, "meta.json")
+    if os.path.isdir(args.checkpoint) and os.path.exists(meta_path):
+        # Self-describing checkpoint: rebuild the exact training-time model.
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if "config" in meta:
+            raw = dict(meta["config"]["model"])
+            raw["vocab_size"] = len(word_map)
+            cfg = ModelConfig(**raw)
+    if cfg is None:
+        cfg = ModelConfig(
+            decoder=decoder, vocab_size=len(word_map),
+            embedding_name=args.embeddingName,
+        )
     model = CaptionModel(cfg)
 
     if args.checkpoint.endswith(".pth.tar"):
@@ -88,12 +99,15 @@ def main():
         if os.path.isdir(args.img)
         else [args.img]
     )
+    # Decode cap: 50 like the reference (caption.py:147), bounded by the
+    # model's positional-encoding table for small configs.
+    max_steps = min(50, model.cfg.max_len - 2)
     rows = []
     for path in paths:
         image = load_image(path)
         res = beam_search(
             model, params, jnp.asarray(image),
-            beam_size=args.beamSize, max_steps=50,
+            beam_size=args.beamSize, max_steps=max_steps,
             start_id=word_map["<start>"], end_id=word_map["<end>"],
         )
         n = int(res.length)

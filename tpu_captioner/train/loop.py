@@ -339,6 +339,8 @@ class Trainer:
             )
             if not is_coordinator():
                 continue  # rank-0-only checkpoints (trainMultiGPU.py:295)
+            import dataclasses
+
             save_checkpoint(
                 tc.checkpoint_dir,
                 name,
@@ -348,6 +350,9 @@ class Trainer:
                     "epochs_since_improvement": self.epochs_since_improvement,
                     "bleu4": val["bleu4"],
                     "results": self.results,
+                    # Self-describing checkpoints: consumers (cli/caption,
+                    # cli/test) rebuild the exact model from this config.
+                    "config": dataclasses.asdict(self.exp),
                 },
                 is_best=is_best,
             )
