@@ -291,12 +291,14 @@ class TransformerDecoder:
             )
             return x, (ck, cv, jnp.mean(probs2[:, :, 0, :], axis=1))
 
+        # Rolled layer loop here: unrolling measured 15% SLOWER for beam
+        # search (bigger body inside the vmapped while_loop); the parallel
+        # TF pass keeps unroll=True where it wins.
         n = c.num_layers
         x, (new_k, new_v, ca_means) = jax.lax.scan(
             body,
             x,
             (p["layers"], cache.k, cache.v, memory.k, memory.v, jnp.arange(n)),
-            unroll=True,
         )
         logits = linear(p["fc_out"], x[:, 0, :])
         alpha = jnp.mean(ca_means, axis=0)  # (B, P)
