@@ -1,0 +1,56 @@
+"""Fused ConvNeXt MLP kernel: parity with the XLA reference + VJP."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_captioner.ops.mlp_block import _reference_impl, fused_convnext_mlp
+
+N, C = 192, 128
+
+
+def make_args(seed=0, sd="ones"):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 10)
+    x = jax.random.normal(ks[0], (N, C))
+    res = jax.random.normal(ks[1], (N, C))
+    if sd == "ones":
+        sd_scale = jnp.ones((N,))
+    else:
+        sd_scale = jnp.where(jax.random.bernoulli(ks[2], 0.7, (N,)), 2.0, 0.0)
+    ln_s = 1.0 + 0.1 * jax.random.normal(ks[3], (C,))
+    ln_b = 0.1 * jax.random.normal(ks[4], (C,))
+    w1 = jax.random.normal(ks[5], (C, 4 * C)) * 0.05
+    b1 = 0.1 * jax.random.normal(ks[6], (4 * C,))
+    w2 = jax.random.normal(ks[7], (4 * C, C)) * 0.05
+    b2 = 0.1 * jax.random.normal(ks[8], (C,))
+    gamma = 0.5 * jax.random.normal(ks[9], (C,))
+    return (x, res, sd_scale, ln_s, ln_b, w1, b1, w2, b2, gamma)
+
+
+@pytest.mark.parametrize("sd", ["ones", "mixed"])
+def test_pallas_matches_reference(sd):
+    from jax.experimental.pallas import tpu as pltpu
+
+    args = make_args(sd=sd)
+    want = _reference_impl(*args)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_convnext_mlp(*args, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_vjp_matches_autodiff_of_reference():
+    args = make_args()
+    g = jax.random.normal(jax.random.PRNGKey(11), (N, C))
+
+    def f_ref(*a):
+        return jnp.sum(_reference_impl(*a) * g)
+
+    def f_mine(*a):
+        return jnp.sum(fused_convnext_mlp(*a, False) * g)
+
+    grads_ref = jax.grad(f_ref, argnums=tuple(range(10)))(*args)
+    grads_mine = jax.grad(f_mine, argnums=tuple(range(10)))(*args)
+    for gr, gm in zip(grads_ref, grads_mine):
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(gr), atol=1e-3)

@@ -68,9 +68,25 @@ class DWConv7x7(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class _ParamHolder(nn.Module):
+    """Declares {scale,bias} or {kernel,bias} leaves so both the XLA path and
+    the fused Pallas path share one parameter layout (names match
+    nn.LayerNorm / nn.Dense for porting and mask compatibility)."""
+
+    shapes: tuple  # ((name, shape, init), ...)
+
+    @nn.compact
+    def __call__(self):
+        return tuple(self.param(n, init, s) for n, s, init in self.shapes)
+
+
 class ConvNeXtBlock(nn.Module):
     """One block; ``sd_prob`` may be a traced scalar (scanned stages pass the
-    per-block stochastic-depth rate as a scan input)."""
+    per-block stochastic-depth rate as a scan input).
+
+    With ``use_pallas`` the post-conv tail (LN -> MLP -> layer-scale ->
+    stochastic depth -> residual) runs as ONE fused Pallas kernel
+    (ops/mlp_block.py), keeping the 4x-wide MLP intermediate in VMEM."""
 
     dim: int
     deterministic: bool = True
@@ -79,21 +95,62 @@ class ConvNeXtBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, sd_prob):
+        from tpu_captioner.models.layers import layer_norm
+        from tpu_captioner.ops.mlp_block import fused_convnext_mlp
+
         inp = x
-        x = DWConv7x7(self.dim, self.use_pallas, self.dtype, name="dwconv")(x)
-        x = _layer_norm(self.dtype)(x).astype(self.dtype)
-        x = nn.Dense(4 * self.dim, dtype=self.dtype, kernel_init=trunc_normal02(), name="pw1")(x)
-        x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal02(), name="pw2")(x)
-        gamma = self.param("layer_scale", nn.initializers.constant(1e-6), (self.dim,), jnp.float32)
-        x = x * gamma.astype(self.dtype)
-        if not self.deterministic:
+        # Depthwise conv stays on XLA's grouped conv (measured faster than
+        # the Pallas dwconv kernel on v5e); use_pallas gates the fused MLP.
+        x = DWConv7x7(self.dim, False, self.dtype, name="dwconv")(x)
+        d = self.dim
+        (ln_scale, ln_bias) = _ParamHolder(
+            (("scale", (d,), nn.initializers.ones),
+             ("bias", (d,), nn.initializers.zeros)),
+            name="LayerNorm_0",
+        )()
+        (w1, b1) = _ParamHolder(
+            (("kernel", (d, 4 * d), trunc_normal02()),
+             ("bias", (4 * d,), nn.initializers.zeros)),
+            name="pw1",
+        )()
+        (w2, b2) = _ParamHolder(
+            (("kernel", (4 * d, d), trunc_normal02()),
+             ("bias", (d,), nn.initializers.zeros)),
+            name="pw2",
+        )()
+        gamma = self.param(
+            "layer_scale", nn.initializers.constant(1e-6), (d,), jnp.float32
+        )
+
+        b = x.shape[0]
+        if self.deterministic:
+            sd_rows = jnp.ones((b,), jnp.float32)
+        else:
             # Stochastic depth, row mode (per-sample) — matches torchvision.
             key = self.make_rng("stochastic_depth")
             survival = 1.0 - sd_prob
-            mask = jax.random.bernoulli(key, survival, (x.shape[0], 1, 1, 1))
-            x = jnp.where(mask, x / survival, 0.0).astype(self.dtype)
-        return inp + x
+            keep = jax.random.bernoulli(key, survival, (b,))
+            sd_rows = jnp.where(keep, 1.0 / survival, 0.0)
+
+        if self.use_pallas:
+            rows = x.reshape(-1, d)
+            res_rows = inp.reshape(-1, d)
+            per_row = x.shape[1] * x.shape[2]
+            sd_full = jnp.repeat(sd_rows, per_row)
+            out = fused_convnext_mlp(
+                rows, res_rows, sd_full, ln_scale, ln_bias,
+                w1.astype(self.dtype), b1, w2.astype(self.dtype), b2, gamma,
+                True,
+            )
+            return out.reshape(x.shape)
+
+        y = layer_norm({"scale": ln_scale, "bias": ln_bias}, x, eps=LN_EPS)
+        y = y.astype(self.dtype)
+        y = nn.gelu(y @ w1.astype(self.dtype) + b1.astype(self.dtype), approximate=False)
+        y = y @ w2.astype(self.dtype) + b2.astype(self.dtype)
+        y = y * gamma.astype(self.dtype)
+        y = y * sd_rows[:, None, None, None].astype(self.dtype)
+        return inp + y
 
 
 class Downsample(nn.Module):
