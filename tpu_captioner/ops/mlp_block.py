@@ -36,6 +36,22 @@ def _gelu_exact(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+def _erf_as(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7 ~= f32 eps).
+    Mosaic has no erf/erfc lowering, so the kernel carries its own."""
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_kernel(x):
+    return 0.5 * x * (1.0 + _erf_as(x * 0.7071067811865476))
+
+
 def _reference_impl(x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
     """Plain-XLA implementation (also the CPU fallback and the VJP source)."""
     x32 = x.astype(jnp.float32)
@@ -56,7 +72,7 @@ def _kernel(x_ref, res_ref, sd_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
     xn = xn * lns_ref[0] + lnb_ref[0]
     h = jnp.dot(xn, w1_ref[:].astype(jnp.float32),
                 preferred_element_type=jnp.float32) + b1_ref[0]
-    h = _gelu_exact(h)
+    h = _gelu_kernel(h)
     y = jnp.dot(h, w2_ref[:].astype(jnp.float32),
                 preferred_element_type=jnp.float32) + b2_ref[0]
     y = y * gamma_ref[0]
