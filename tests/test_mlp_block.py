@@ -36,7 +36,7 @@ def test_pallas_matches_reference(sd):
     args = make_args(sd=sd)
     want = _reference_impl(*args)
     with pltpu.force_tpu_interpret_mode():
-        got = fused_convnext_mlp(*args, True)
+        got = fused_convnext_mlp(*args, True, True)  # precise=f32 MXU
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
@@ -48,9 +48,19 @@ def test_vjp_matches_autodiff_of_reference():
         return jnp.sum(_reference_impl(*a) * g)
 
     def f_mine(*a):
-        return jnp.sum(fused_convnext_mlp(*a, False) * g)
+        return jnp.sum(fused_convnext_mlp(*a, False, True) * g)
 
     grads_ref = jax.grad(f_ref, argnums=tuple(range(10)))(*args)
     grads_mine = jax.grad(f_mine, argnums=tuple(range(10)))(*args)
     for gr, gm in zip(grads_ref, grads_mine):
         np.testing.assert_allclose(np.asarray(gm), np.asarray(gr), atol=1e-3)
+
+
+def test_pallas_bf16_mxu_close_to_reference():
+    from jax.experimental.pallas import tpu as pltpu
+
+    args = make_args()
+    want = _reference_impl(*args)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_convnext_mlp(*args, True, False)  # bf16 multiplicands
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.15, rtol=0.05)

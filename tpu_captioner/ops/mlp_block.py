@@ -64,16 +64,18 @@ def _reference_impl(x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, ga
 
 
 def _kernel(x_ref, res_ref, sd_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
-            w2_ref, b2_ref, gamma_ref, o_ref):
+            w2_ref, b2_ref, gamma_ref, o_ref, *, mxu_dtype):
     x = x_ref[:].astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
     xn = (x - mu) * jax.lax.rsqrt(var + LN_EPS)
     xn = xn * lns_ref[0] + lnb_ref[0]
-    h = jnp.dot(xn, w1_ref[:].astype(jnp.float32),
+    # MXU multiplicands in mxu_dtype (bf16 default = XLA's own default TPU
+    # matmul precision), accumulation always f32.
+    h = jnp.dot(xn.astype(mxu_dtype), w1_ref[:].astype(mxu_dtype),
                 preferred_element_type=jnp.float32) + b1_ref[0]
     h = _gelu_kernel(h)
-    y = jnp.dot(h, w2_ref[:].astype(jnp.float32),
+    y = jnp.dot(h.astype(mxu_dtype), w2_ref[:].astype(mxu_dtype),
                 preferred_element_type=jnp.float32) + b2_ref[0]
     y = y * gamma_ref[0]
     out = res_ref[:].astype(jnp.float32) + sd_ref[:] * y
@@ -81,17 +83,18 @@ def _kernel(x_ref, res_ref, sd_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
 
 
 def _fused_pallas(x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
-                  row_tile: int = 512):
+                  row_tile: int = 512, mxu_dtype=jnp.bfloat16):
     n, c = x.shape
     c4 = w1.shape[1]
     tile = min(row_tile, n)
     grid = (pl.cdiv(n, tile),)
+    kernel = functools.partial(_kernel, mxu_dtype=mxu_dtype)
     row2 = lambda: pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        _kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((n, c), x.dtype),
         grid=grid,
         in_specs=[
@@ -114,7 +117,7 @@ def _fused_pallas(x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamm
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
 def fused_convnext_mlp(
     x: jnp.ndarray,  # (N, C) — depthwise-conv output rows
     residual: jnp.ndarray,  # (N, C) — block input rows
@@ -124,24 +127,29 @@ def fused_convnext_mlp(
     w2: jnp.ndarray, b2: jnp.ndarray,  # (4C, C), (C,)
     gamma: jnp.ndarray,  # (C,) layer scale
     use_pallas: bool = True,
+    precise: bool = True,  # f32 MXU multiplicands (bf16 measured no faster —
+    # the kernel is bandwidth/VPU-bound, not MXU-bound)
 ) -> jnp.ndarray:
     if use_pallas:
         return _fused_pallas(
-            x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma
+            x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+            mxu_dtype=jnp.float32 if precise else jnp.bfloat16,
         )
     return _reference_impl(
         x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma
     )
 
 
-def _fwd(x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma, use_pallas):
+def _fwd(x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+         use_pallas, precise):
     out = fused_convnext_mlp(
-        x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma, use_pallas
+        x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+        use_pallas, precise,
     )
     return out, (x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
 
 
-def _bwd(use_pallas, res, g):
+def _bwd(use_pallas, precise, res, g):
     # Differentiate the XLA reference implementation (recompute-in-backward).
     _, vjp = jax.vjp(_reference_impl, *res)
     return vjp(g)
