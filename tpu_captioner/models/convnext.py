@@ -84,25 +84,31 @@ class ConvNeXtBlock(nn.Module):
     """One block; ``sd_prob`` may be a traced scalar (scanned stages pass the
     per-block stochastic-depth rate as a scan input).
 
-    With ``use_pallas`` the post-conv tail (LN -> MLP -> layer-scale ->
-    stochastic depth -> residual) runs as ONE fused Pallas kernel
-    (ops/mlp_block.py), keeping the 4x-wide MLP intermediate in VMEM."""
+    ``pallas_mode``:
+      'off'   — plain XLA ops;
+      'mlp'   — post-conv tail (LN -> MLP -> layer-scale -> stochastic depth
+                -> residual) as ONE fused Pallas kernel (ops/mlp_block.py);
+      'block' — the ENTIRE block incl. the depthwise conv as one kernel
+                (ops/block_fused.py)."""
 
     dim: int
     deterministic: bool = True
-    use_pallas: bool = False
+    pallas_mode: str = "off"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, sd_prob):
         from tpu_captioner.models.layers import layer_norm
+        from tpu_captioner.ops.block_fused import fused_convnext_block
         from tpu_captioner.ops.mlp_block import fused_convnext_mlp
 
         inp = x
-        # Depthwise conv stays on XLA's grouped conv (measured faster than
-        # the Pallas dwconv kernel on v5e); use_pallas gates the fused MLP.
-        x = DWConv7x7(self.dim, False, self.dtype, name="dwconv")(x)
         d = self.dim
+        (dw_kernel, dw_bias) = _ParamHolder(
+            (("kernel", (7, 7, 1, d), trunc_normal02()),
+             ("bias", (d,), nn.initializers.zeros)),
+            name="dwconv",
+        )()
         (ln_scale, ln_bias) = _ParamHolder(
             (("scale", (d,), nn.initializers.ones),
              ("bias", (d,), nn.initializers.zeros)),
@@ -132,7 +138,22 @@ class ConvNeXtBlock(nn.Module):
             keep = jax.random.bernoulli(key, survival, (b,))
             sd_rows = jnp.where(keep, 1.0 / survival, 0.0)
 
-        if self.use_pallas:
+        if self.pallas_mode == "block":
+            return fused_convnext_block(
+                inp.astype(self.dtype), sd_rows,
+                dw_kernel.reshape(7, 7, d).astype(self.dtype), dw_bias,
+                ln_scale, ln_bias,
+                w1.astype(self.dtype), b1, w2.astype(self.dtype), b2, gamma,
+                True,
+            )
+
+        # Depthwise conv on XLA's grouped conv (faster than the standalone
+        # Pallas dwconv kernel on v5e, ops/dwconv.py kept as opt-in library).
+        x = depthwise_conv7x7_nhwc(
+            x.astype(self.dtype), dw_kernel.reshape(7, 7, d).astype(self.dtype), False
+        ) + dw_bias.astype(self.dtype)
+
+        if self.pallas_mode == "mlp":
             rows = x.reshape(-1, d)
             res_rows = inp.reshape(-1, d)
             per_row = x.shape[1] * x.shape[2]
@@ -199,7 +220,7 @@ class Stage(nn.Module):
     dim: int
     depth: int
     sd_probs: Sequence[float]
-    use_pallas: bool = False
+    pallas_mode: str = "off"
     remat: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -222,7 +243,7 @@ class Stage(nn.Module):
             length=self.depth,
         )
         block = ConvNeXtBlock(
-            self.dim, deterministic=deterministic, use_pallas=self.use_pallas,
+            self.dim, deterministic=deterministic, pallas_mode=self.pallas_mode,
             dtype=self.dtype, name="blocks"
         )
         x, _ = scan(block, x, jnp.asarray(self.sd_probs, jnp.float32))
@@ -235,7 +256,7 @@ class ConvNeXtFeatures(nn.Module):
     depths: Sequence[int] = BASE_DEPTHS
     dims: Sequence[int] = BASE_DIMS
     sd_rate: float = BASE_SD_RATE
-    use_pallas: bool = False
+    pallas_mode: str = "off"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -248,8 +269,8 @@ class ConvNeXtFeatures(nn.Module):
             if s > 0:
                 x = Downsample(dim, self.dtype, name=f"features_{2 * s}")(x)
             x = Stage(
-                dim, depth, sd[off : off + depth], self.use_pallas, self.dtype,
-                name=f"features_{2 * s + 1}"
+                dim, depth, sd[off : off + depth], self.pallas_mode,
+                dtype=self.dtype, name=f"features_{2 * s + 1}"
             )(x, deterministic=deterministic)
             off += depth
         return x  # (B, H/32, W/32, dims[-1])

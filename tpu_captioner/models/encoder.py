@@ -41,14 +41,14 @@ class ConvNeXtEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     depths: tuple = (3, 3, 27, 3)
     dims: tuple = (128, 256, 512, 1024)
-    use_pallas: bool = False
+    pallas_mode: str = "off"
 
     @nn.compact
     def __call__(self, images, *, deterministic: bool = True):
         """images: normalized float NHWC (B, H, W, 3).
         Returns (B, enc, enc, dims[-1])."""
         x = ConvNeXtFeatures(
-            depths=self.depths, dims=self.dims, use_pallas=self.use_pallas,
+            depths=self.depths, dims=self.dims, pallas_mode=self.pallas_mode,
             dtype=self.dtype, name="convnext"
         )(images, deterministic=deterministic)
         x = adaptive_avg_pool_nhwc(x, self.encoded_image_size)

@@ -36,20 +36,22 @@ class CaptionModel:
     def __post_init__(self):
         c = self.cfg
         dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
-        # 'auto' enables the fused ConvNeXt MLP-tail Pallas kernel on TPU
-        # (26.7 vs 39.1 ms/step measured on v5e); tests on CPU take the XLA
-        # fallbacks.  The standalone Pallas dwconv stays opt-out (XLA's
-        # grouped conv measured faster), see convnext.py.
-        if c.use_pallas == "auto":
-            use_pallas = jax.default_backend() not in ("cpu",)
-        else:
-            use_pallas = c.use_pallas in ("on", True)
+        # Pallas mode for the ConvNeXt blocks: 'auto' -> fused MLP-tail
+        # kernel on TPU (26.7 vs 39.1 ms/step measured on v5e), XLA on CPU;
+        # 'block' -> fully-fused block kernel; 'on' == 'mlp'; 'off' -> XLA.
+        mode = c.use_pallas
+        if mode == "auto":
+            mode = "mlp" if jax.default_backend() not in ("cpu",) else "off"
+        elif mode in ("on", True):
+            mode = "mlp"
+        elif mode in (False, "off"):
+            mode = "off"
         self.encoder = ConvNeXtEncoder(
             encoded_image_size=c.encoded_image_size,
             dtype=dtype,
             depths=tuple(c.encoder_depths),
             dims=tuple(c.encoder_dims),
-            use_pallas=use_pallas,
+            pallas_mode=mode,
         )
         if c.decoder == "lstm":
             self.decoder = DecoderWithAttention(c)
