@@ -75,7 +75,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(iters):
         state, m = step(state, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # host fetch: block_until_ready is unreliable via relay
     dt = time.perf_counter() - t0
     imgs_per_sec = B * iters / dt
     log(f"{iters} steps: {dt:.2f}s ({dt/iters*1e3:.1f} ms/step)")

@@ -93,12 +93,18 @@ def main():
         t0 = time.perf_counter()
         for i in range(n):
             state, m = step(state, batch, jax.random.PRNGKey(i))
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])  # host fetch forces completion
         emit(name, (time.perf_counter() - t0) / n, ref)
         del state
 
-    # 2) Free-running greedy eval (51 cached decode steps).
-    eval_step = make_eval_step(model, tc, wid)
+    # 2) Free-running greedy eval (51 cached decode steps).  Mirrors the
+    # Trainer: eval/beam use the plain-XLA encoder (fused kernel only wins
+    # in train-step programs, see train/model.py).
+    eval_model = CaptionModel(
+        ModelConfig(decoder="transformer", vocab_size=V, compute_dtype=dtype,
+                    use_pallas="off")
+    )
+    eval_step = make_eval_step(eval_model, tc, wid)
     t0 = time.perf_counter()
     aux = eval_step(params, eval_batch)
     jax.block_until_ready(aux["loss"])
@@ -107,13 +113,13 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n):
         aux = eval_step(params, eval_batch)
-    jax.block_until_ready(aux["loss"])
+    float(aux["loss"])  # host fetch forces completion
     emit("greedy_rollout_eval", (time.perf_counter() - t0) / n, 0.73)
 
     # 3) Beam-5 captioning throughput.
     t0 = time.perf_counter()
     res = beam_search_batch(
-        model, params, batch["images"],
+        eval_model, params, batch["images"],
         beam_size=5, max_steps=50, start_id=V - 2, end_id=V - 1,
     )
     jax.block_until_ready(res.sequence)
@@ -122,10 +128,10 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n):
         res = beam_search_batch(
-            model, params, batch["images"],
+            eval_model, params, batch["images"],
             beam_size=5, max_steps=50, start_id=V - 2, end_id=V - 1,
         )
-    jax.block_until_ready(res.sequence)
+    float(res.score[0])  # host fetch forces completion
     dt = (time.perf_counter() - t0) / n
     row = {
         "metric": "beam5_captions_per_sec",
@@ -155,7 +161,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(n):
         state, m = step(state, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # host fetch forces completion
     emit("tf_train_lstm_attention", (time.perf_counter() - t0) / n, 0.212)
 
     results.append(row)

@@ -91,7 +91,8 @@ def _fused_pallas(x, sd_scale, dw_w, dw_b, ln_scale, ln_bias, w1, b1, w2, b2, ga
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            # Per-sample scalar rides in SMEM (VMEM blocks need 8x128 tiles).
+            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
             rep((K, K, C)),
             rep((1, C)), rep((1, C)), rep((1, C)),
             rep((C, c4)), rep((1, c4)),

@@ -98,6 +98,12 @@ class Trainer:
         self.word_ids = special_ids(self.word_map)
         exp.model.vocab_size = len(self.word_map)
         self.model = CaptionModel(exp.model)
+        # Eval/rollout runs with the plain-XLA encoder: the fused Pallas
+        # kernel only wins in train-step programs (see train/model.py); the
+        # parameter tree is identical, so params are shared.
+        import dataclasses as _dc
+
+        self.eval_model = CaptionModel(_dc.replace(exp.model, use_pallas="off"))
 
         tc = exp.train
         self.dec_opt = make_optimizer(tc.decoder_lr, tc.grad_clip)
@@ -160,7 +166,7 @@ class Trainer:
     def _eval_step(self):
         if "eval" not in self._step_cache:
             self._step_cache["eval"] = make_eval_step(
-                self.model, self.exp.train, self.word_ids, mesh=self.mesh
+                self.eval_model, self.exp.train, self.word_ids, mesh=self.mesh
             )
         return self._step_cache["eval"]
 

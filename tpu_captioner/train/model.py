@@ -37,11 +37,18 @@ class CaptionModel:
         c = self.cfg
         dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
         # Pallas mode for the ConvNeXt blocks: 'auto' -> fused MLP-tail
-        # kernel on TPU (26.7 vs 39.1 ms/step measured on v5e), XLA on CPU;
+        # kernel on TPU for the transformer-decoder TRAIN path (39.1 -> 26.6
+        # ms/step measured on v5e), XLA elsewhere.  Measured caveat: in
+        # programs dominated by long sequential scans (greedy rollout, LSTM
+        # time loop) the per-kernel launch latency cannot hide behind other
+        # work and the fused kernel loses badly — the Trainer therefore uses
+        # a separate 'off' eval model (same param tree) for rollout/beam.
         # 'block' -> fully-fused block kernel; 'on' == 'mlp'; 'off' -> XLA.
         mode = c.use_pallas
         if mode == "auto":
-            mode = "mlp" if jax.default_backend() not in ("cpu",) else "off"
+            on_tpu = jax.default_backend() not in ("cpu",)
+            transformer = c.decoder in ("transformer", "transformer_attvis")
+            mode = "mlp" if (on_tpu and transformer) else "off"
         elif mode in ("on", True):
             mode = "mlp"
         elif mode in (False, "off"):
