@@ -64,6 +64,7 @@ def _kernel(x_ref, sd_ref, dww_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
             )
     t = t + dwb_ref[0]
     rows = t.reshape(H * W, C)
+    sd = sd_ref[pl.program_id(0), 0]
     mu = jnp.mean(rows, axis=-1, keepdims=True)
     var = jnp.mean((rows - mu) ** 2, axis=-1, keepdims=True)
     tn = (rows - mu) * jax.lax.rsqrt(var + LN_EPS)
@@ -74,7 +75,7 @@ def _kernel(x_ref, sd_ref, dww_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
     y = jnp.dot(h, w2_ref[:].astype(jnp.float32),
                 preferred_element_type=jnp.float32) + b2_ref[0]
     y = (y * gamma_ref[0]).reshape(H, W, C)
-    out = x_ref[0].astype(jnp.float32) + sd_ref[0, 0] * y
+    out = x_ref[0].astype(jnp.float32) + sd * y
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -91,8 +92,9 @@ def _fused_pallas(x, sd_scale, dw_w, dw_b, ln_scale, ln_bias, w1, b1, w2, b2, ga
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            # Per-sample scalar rides in SMEM (VMEM blocks need 8x128 tiles).
-            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            # Per-sample scalars: whole (B, 1) array in SMEM, indexed by
+            # program_id (blocked SMEM specs still demand 8x128 tiles).
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             rep((K, K, C)),
             rep((1, C)), rep((1, C)), rep((1, C)),
             rep((C, c4)), rep((1, c4)),
@@ -105,6 +107,10 @@ def _fused_pallas(x, sd_scale, dw_w, dw_b, ln_scale, ln_bias, w1, b1, w2, b2, ga
         scratch_shapes=[pltpu.VMEM((H + 2 * P, W + 2 * P, C), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            # Stage 1 (64x64x128) needs ~50 MB resident (image + halo scratch
+            # + (4096, 4C) MLP intermediate); the 16 MB default is for
+            # pipelined row-tile kernels.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(
         x, sd_scale[:, None], dw_w, dw_b[None],
