@@ -221,7 +221,7 @@ class Stage(nn.Module):
     depth: int
     sd_probs: Sequence[float]
     pallas_mode: str = "off"
-    remat: bool = True
+    remat: str = "auto"  # 'auto' | 'on' | 'off'
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -229,11 +229,13 @@ class Stage(nn.Module):
         def body(block, carry, sd_prob):
             return block(carry, sd_prob), None
 
-        if self.remat:
-            # Rematerialize each block in the backward pass: fine-tuning at
-            # bs=32/f32 otherwise has to keep ~9 GB of block activations
-            # alive (stage-1 MLP intermediates are 268 MB each) and OOMs a
-            # 16 GB chip; with remat only the block inputs are saved.
+        # Rematerialize blocks in the backward pass: the XLA path otherwise
+        # keeps ~9 GB of activations alive (stage-1 MLP intermediates are
+        # 268 MB each) and OOMs a 16 GB chip.  Measured: remat also WINS for
+        # the fused-kernel path (157 vs 517 ms/step fine-tune — storing
+        # custom-VJP residuals across the scan serializes far worse than
+        # replaying forwards), so 'auto' keeps it on everywhere.
+        if self.remat in ("on", "auto", True):
             body = nn.remat(body, prevent_cse=False)
         scan = nn.scan(
             body,
