@@ -112,6 +112,11 @@ class TrainConfig:
     encoder_lr: float = 1e-4
     grad_clip: float = 5.0  # elementwise clamp, not norm clip (utils/utils.py:183-192)
     alpha_c: float = 1.0  # doubly-stochastic attention regularizer (train.py:55)
+    # Apply the doubly-stochastic regularizer to the attention-capture
+    # transformer's cross-attention maps as well.  The reference carries this
+    # as commented-out hooks (trainMultiGPU.py:373,379,453,456); here it is a
+    # first-class switch (off by default, matching the reference's runs).
+    attvis_regularization: bool = False
     teacher_forcing: bool = True
     # Scheduled sampling (Bengio et al. 2015): probability of feeding the
     # ground-truth token during free-running TRAINING rollouts.  0.0 = the

@@ -51,6 +51,7 @@ def tf_loss(
     alpha_c: float,
     rng: Optional[jax.Array],
     deterministic: bool,
+    attvis_regularization: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     caps = batch["captions"]
     caplens = batch["caplens"]
@@ -71,7 +72,11 @@ def tf_loss(
     targets = caps[:, 1:].astype(jnp.int32)
     ce_sum, tokens = masked_cross_entropy(logits, targets, tmask)
     loss = ce_sum / jnp.maximum(tokens, 1.0)
-    if model.cfg.decoder == "lstm" and alpha_c:
+    reg_lstm = model.cfg.decoder == "lstm"
+    reg_attvis = (
+        attvis_regularization and model.cfg.decoder == "transformer_attvis"
+    )
+    if (reg_lstm or reg_attvis) and alpha_c and alphas is not None:
         am = alphas * tmask[..., None]
         per_pixel = (1.0 - jnp.sum(am, axis=1)) ** 2  # (B, P)
         denom = jnp.maximum(jnp.sum(valid), 1) * per_pixel.shape[1]
@@ -156,7 +161,10 @@ def make_train_step(
 
     def loss_for(params, batch, rng):
         if teacher_forcing:
-            return tf_loss(model, params, batch, cfg.alpha_c, rng, False)
+            return tf_loss(
+                model, params, batch, cfg.alpha_c, rng, False,
+                cfg.attvis_regularization,
+            )
         return rollout_loss(
             model, params, batch, word_ids, cfg.alpha_c, cfg.max_decode_len,
             rng, False, cfg.scheduled_sampling_prob,
