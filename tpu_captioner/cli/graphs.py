@@ -15,7 +15,7 @@ import argparse
 import json
 import os
 from collections import Counter
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 # A minimal English stop-word list (the reference filtered stop words via
 # nltk's corpus; keep it dependency-free).

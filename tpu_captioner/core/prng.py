@@ -9,7 +9,6 @@ every jitted step receives a fresh, reproducible key with no global state.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 # Stable fold constants per purpose.
 _PURPOSES = {"dropout": 0, "stochastic_depth": 1, "init": 2, "data": 3, "rollout": 4}

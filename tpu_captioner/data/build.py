@@ -29,7 +29,7 @@ import json
 import os
 from collections import Counter
 from random import seed, choice, sample
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -26,7 +26,7 @@ XLA keeps the channel axis on the 128-wide lane dimension of the MXU/VPU.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import gzip
 import os
-from typing import Dict, Iterable, Optional, Tuple
+from typing import Dict, Iterable, Tuple
 
 import numpy as np
 

@@ -20,7 +20,7 @@ reference's train-mode dropout (decoder.py:109,152); keys are split per step.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,13 +27,12 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from tpu_captioner.core.config import ModelConfig
-from tpu_captioner.models import torch_init
 from tpu_captioner.models.layers import (
     Params,
     attention_core,

@@ -22,7 +22,6 @@ Backward: custom VJP that differentiates the XLA reference implementation
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ jax.distributed.initialize, handled by the caller's launcher).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh

@@ -23,7 +23,7 @@ DDP/NCCL all-reduce, trainMultiGPU.py:96-108,384).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
