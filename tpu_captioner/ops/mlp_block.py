@@ -88,6 +88,11 @@ def _fused_pallas(x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamm
     tile = min(row_tile, n)
     grid = (pl.cdiv(n, tile),)
     kernel = functools.partial(_kernel, mxu_dtype=mxu_dtype)
+    # Raise the scoped-VMEM cap only when this stage actually needs it
+    # (stage-4 weights are 2 x 16.8 MB f32); a blanket high cap measurably
+    # hurts pipelining of the small stages (27.4 -> 29.1 ms/step).
+    est = 4 * (2 * (3 * tile * c + tile * c4) + 2 * (c * c4 + c4 * c))
+    vmem_cap = int(est * 1.25) if est > 14 * 1024 * 1024 else None
     row2 = lambda: pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -108,6 +113,7 @@ def _fused_pallas(x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamm
         out_specs=row2(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=vmem_cap,
         ),
     )(
         x, residual, sd_scale[:, None],
