@@ -1,0 +1,62 @@
+"""ShardedLoader over an 8-device mesh: sharding layout, prefetch pipeline,
+eval batches, and determinism across epochs."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tpu_captioner.data.build import build_synthetic_dataset
+from tpu_captioner.data.dataset import CaptionDataset
+from tpu_captioner.data.loader import ShardedLoader
+from tpu_captioner.parallel.mesh import make_mesh
+
+BASE = "synthetic_5_cap_per_img_1_min_word_freq"
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("loader")
+    build_synthetic_dataset(
+        str(d), num_images={"TRAIN": 8, "VAL": 4}, max_len=8, image_size=16
+    )
+    return str(d)
+
+
+def test_sharded_loader_train(data_dir):
+    mesh = make_mesh(8)
+    ds = CaptionDataset(data_dir, BASE, "TRAIN")  # 40 captions
+    loader = ShardedLoader(ds, global_batch=16, mesh=mesh, shuffle=True)
+    assert len(loader) == 3
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3
+    for b in batches:
+        assert b["images"].shape == (16, 16, 16, 3)
+        # Leading axis sharded over the 8 devices.
+        assert len(b["images"].sharding.device_set) == 8
+        assert b["captions"].shape == (16, 10)
+    # Final batch padding (40 = 2*16 + 8): last 8 rows invalid.
+    valid = np.asarray(batches[-1]["valid"])
+    assert valid.sum() == 8 and not valid[8:].any()
+
+
+def test_sharded_loader_eval_and_determinism(data_dir):
+    mesh = make_mesh(8)
+    ds = CaptionDataset(data_dir, BASE, "VAL")
+    loader = ShardedLoader(ds, global_batch=8, mesh=mesh, shuffle=True, seed=7)
+    e0a = [np.asarray(b["captions"]) for b in loader.epoch(0)]
+    e0b = [np.asarray(b["captions"]) for b in loader.epoch(0)]
+    e1 = [np.asarray(b["captions"]) for b in loader.epoch(1)]
+    for a, b in zip(e0a, e0b):
+        np.testing.assert_array_equal(a, b)
+    assert any(not np.array_equal(a, b) for a, b in zip(e0a, e1))
+    batch = next(iter(loader.epoch(0)))
+    assert "all_captions" in batch
+    assert batch["all_captions"].shape == (8, 5, 10)
+
+
+def test_indivisible_batch_rejected(data_dir):
+    mesh = make_mesh(8)
+    ds = CaptionDataset(data_dir, BASE, "TRAIN")
+    with pytest.raises(ValueError):
+        ShardedLoader(ds, global_batch=12, mesh=mesh)

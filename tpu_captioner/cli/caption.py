@@ -99,30 +99,54 @@ def main():
         if os.path.isdir(args.img)
         else [args.img]
     )
+    from tpu_captioner.infer.beam import beam_search_batch
+
     # Decode cap: 50 like the reference (caption.py:147), bounded by the
     # model's positional-encoding table for small configs.
     max_steps = min(50, model.cfg.max_len - 2)
     rows = []
-    for path in paths:
-        image = load_image(path)
-        res = beam_search(
-            model, params, jnp.asarray(image),
-            beam_size=args.beamSize, max_steps=max_steps,
-            start_id=word_map["<start>"], end_id=word_map["<end>"],
-        )
-        n = int(res.length)
-        seq = np.asarray(res.sequence)[:n]
-        words = [rev[int(i)] for i in seq]
-        caption = " ".join(w for w in words if w not in ("<start>", "<end>"))
-        print(f"{os.path.basename(path)}: {caption}  (score {float(res.score):.3f})")
-        rows.append({"imageFile": os.path.basename(path), "generatedCaption": caption})
-        if args.out and len(paths) == 1:
-            from tpu_captioner.infer.visualize import visualize_att
-
-            visualize_att(
-                image, seq, np.asarray(res.alphas)[:n], rev,
-                smooth=args.smooth, out_path=args.out,
+    # Directory mode runs batched beam search (one encoder pass + vmapped
+    # beams per group) — the reference captions strictly one image per
+    # process invocation (caption.py:433-).
+    group = 8
+    for s in range(0, len(paths), group):
+        chunk = paths[s : s + group]
+        images = np.stack([load_image(p) for p in chunk])
+        if len(chunk) == 1:
+            res = beam_search(
+                model, params, jnp.asarray(images[0]),
+                beam_size=args.beamSize, max_steps=max_steps,
+                start_id=word_map["<start>"], end_id=word_map["<end>"],
             )
+            results = [(res.sequence, res.length, res.alphas, res.score)]
+        else:
+            res = beam_search_batch(
+                model, params, jnp.asarray(images),
+                beam_size=args.beamSize, max_steps=max_steps,
+                start_id=word_map["<start>"], end_id=word_map["<end>"],
+            )
+            results = [
+                (res.sequence[j], res.length[j], res.alphas[j], res.score[j])
+                for j in range(len(chunk))
+            ]
+        for path, image, (sequence, length, alphas, score) in zip(
+            chunk, images, results
+        ):
+            n = int(length)
+            seq = np.asarray(sequence)[:n]
+            words = [rev[int(i)] for i in seq]
+            caption = " ".join(w for w in words if w not in ("<start>", "<end>"))
+            print(f"{os.path.basename(path)}: {caption}  (score {float(score):.3f})")
+            rows.append(
+                {"imageFile": os.path.basename(path), "generatedCaption": caption}
+            )
+            if args.out and len(paths) == 1:
+                from tpu_captioner.infer.visualize import visualize_att
+
+                visualize_att(
+                    image, seq, np.asarray(alphas)[:n], rev,
+                    smooth=args.smooth, out_path=args.out,
+                )
     if args.csv:
         import pandas as pd
 
