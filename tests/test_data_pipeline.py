@@ -125,3 +125,65 @@ def test_final_batch_padding(tmp_path):
     assert all(b.images.shape[0] == 4 for b in batches)
     assert batches[-1].valid.tolist() == [True, True, False, False]
     assert batches[0].valid.all()
+
+
+def test_reference_hdf5_artifacts_read_directly(tmp_path):
+    """Reference-format HDF5 + JSON artifacts (utils/utils.py:102-160 output
+    layout) load without conversion, images transposed CHW -> HWC."""
+    import h5py
+
+    base = "coco_5_cap_per_img_5_min_word_freq"
+    rng = np.random.default_rng(0)
+    imgs_chw = rng.integers(0, 256, (3, 3, 16, 16), dtype=np.uint8)
+    with h5py.File(tmp_path / f"VAL_IMAGES_{base}.hdf5", "w") as h:
+        h.attrs["captions_per_image"] = 5
+        h.create_dataset("images", data=imgs_chw)
+    caps = rng.integers(0, 40, (15, 12)).astype(int).tolist()
+    lens = rng.integers(3, 12, (15,)).astype(int).tolist()
+    (tmp_path / f"VAL_CAPTIONS_{base}.json").write_text(json.dumps(caps))
+    (tmp_path / f"VAL_CAPLENS_{base}.json").write_text(json.dumps(lens))
+
+    ds = CaptionDataset(str(tmp_path), base, "VAL")
+    assert len(ds) == 15 and ds.cpi == 5
+    batch = ds.gather(np.array([0, 6, 14]))
+    np.testing.assert_array_equal(
+        batch.images, imgs_chw[[0, 1, 2]].transpose(0, 2, 3, 1)
+    )
+    np.testing.assert_array_equal(batch.captions, np.asarray(caps)[[0, 6, 14]])
+    assert batch.all_captions.shape == (3, 5, 12)
+
+
+def test_builder_deterministic_sampling(tmp_path):
+    """seed(123) caption sampling (utils/utils.py:97,117-120): two builds of
+    the same inputs produce byte-identical caption records (covers both the
+    duplication and subsampling paths)."""
+    from PIL import Image
+
+    img_dir = tmp_path / "im"
+    img_dir.mkdir()
+    rng = np.random.default_rng(3)
+    images = []
+    for i in range(3):
+        fn = f"x{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)
+        ).save(img_dir / fn)
+        n_caps = [2, 5, 9][i]  # fewer / exact / more than cpi=5
+        sents = [
+            {"tokens": [f"w{(i + j) % 7}", f"w{(2 * j) % 7}"]} for j in range(n_caps)
+        ]
+        images.append({"filename": fn, "split": "train", "sentences": sents})
+    j = tmp_path / "k.json"
+    j.write_text(json.dumps({"images": images}))
+
+    outs = []
+    for tag in ("a", "b"):
+        out = tmp_path / tag
+        create_input_files(
+            "flickr8k", str(j), str(img_dir), 5, 0, str(out), max_len=6
+        )
+        outs.append(
+            np.load(out / "TRAIN_CAPTIONS_flickr8k_5_cap_per_img_0_min_word_freq.npy")
+        )
+    np.testing.assert_array_equal(outs[0], outs[1])
+    assert outs[0].shape == (15, 8)

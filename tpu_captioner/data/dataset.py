@@ -61,22 +61,49 @@ class CaptionDataset:
         self.split = split
         self.data_folder = data_folder
         self.data_name = data_name
+        self._h5 = None
 
-        self.images = np.load(
-            os.path.join(data_folder, f"{split}_IMAGES_{data_name}.npy"),
-            mmap_mode="r",
-        )
-        self.captions = np.load(
-            os.path.join(data_folder, f"{split}_CAPTIONS_{data_name}.npy")
-        )
-        self.caplens = np.load(
-            os.path.join(data_folder, f"{split}_CAPLENS_{data_name}.npy")
-        )
-        with open(os.path.join(data_folder, f"{split}_META_{data_name}.json")) as f:
-            meta = json.load(f)
-        self.cpi = int(meta["captions_per_image"])
+        npy = os.path.join(data_folder, f"{split}_IMAGES_{data_name}.npy")
+        h5 = os.path.join(data_folder, f"{split}_IMAGES_{data_name}.hdf5")
+        if os.path.exists(npy):
+            self.images = np.load(npy, mmap_mode="r")
+            self.captions = np.load(
+                os.path.join(data_folder, f"{split}_CAPTIONS_{data_name}.npy")
+            )
+            self.caplens = np.load(
+                os.path.join(data_folder, f"{split}_CAPLENS_{data_name}.npy")
+            )
+            with open(
+                os.path.join(data_folder, f"{split}_META_{data_name}.json")
+            ) as f:
+                meta = json.load(f)
+            self.cpi = int(meta["captions_per_image"])
+            n_images = self.images.shape[0]
+        elif os.path.exists(h5):
+            # Drop-in read of REFERENCE-format artifacts (utils/utils.py
+            # :102-160 outputs): NCHW uint8 HDF5 + caption/caplen JSONs.
+            # Images are transposed to NHWC lazily per batch.
+            import h5py
+
+            self._h5_path = h5
+            with h5py.File(h5, "r") as h:
+                self.cpi = int(h.attrs["captions_per_image"])
+                n_images = h["images"].shape[0]
+            with open(
+                os.path.join(data_folder, f"{split}_CAPTIONS_{data_name}.json")
+            ) as f:
+                self.captions = np.asarray(json.load(f), dtype=np.int32)
+            with open(
+                os.path.join(data_folder, f"{split}_CAPLENS_{data_name}.json")
+            ) as f:
+                self.caplens = np.asarray(json.load(f), dtype=np.int32)
+            self.images = None
+        else:
+            raise FileNotFoundError(
+                f"no {split} image records ({npy} or reference-format {h5})"
+            )
         assert len(self.captions) == len(self.caplens)
-        assert len(self.captions) == self.images.shape[0] * self.cpi
+        assert len(self.captions) == n_images * self.cpi
 
     def __len__(self) -> int:
         return len(self.captions)
@@ -85,15 +112,30 @@ class CaptionDataset:
     def max_caption_len(self) -> int:
         return self.captions.shape[1]
 
+    def _gather_images_h5(self, img_idx: np.ndarray) -> np.ndarray:
+        if self._h5 is None:
+            import h5py
+
+            # Lazy per-process open, like the reference's per-worker handle
+            # (dataLoader.py:39-41).
+            self._h5 = h5py.File(self._h5_path, "r")["images"]
+        imgs = np.stack([self._h5[int(i)] for i in img_idx])  # (B, 3, H, W)
+        return np.ascontiguousarray(imgs.transpose(0, 2, 3, 1))
+
     def gather(self, indices: np.ndarray) -> Batch:
         """Materialise a batch for caption indices (memmap gather; C++
         thread-pool fast path when the native lib is built)."""
         from tpu_captioner.native.gather import gather_batch_native
 
         img_idx = indices // self.cpi
-        images, captions, caplens = gather_batch_native(
-            self.images, self.captions, self.caplens, img_idx, indices
-        )
+        if self.images is None:
+            images = self._gather_images_h5(img_idx)
+            captions = self.captions[indices]
+            caplens = self.caplens[indices]
+        else:
+            images, captions, caplens = gather_batch_native(
+                self.images, self.captions, self.caplens, img_idx, indices
+            )
         valid = np.ones(len(indices), dtype=bool)
         if self.split == "TRAIN":
             return Batch(images, captions, caplens, valid)
