@@ -224,3 +224,39 @@ def test_data_parallel_matches_single_device(dataset_dir):
     _, m8 = step8(state2, batch8, jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-5)
     assert int(m1["tokens"]) == int(m8["tokens"])
+
+
+def test_scheduled_sampling_prob1_matches_teacher_forcing(dataset_dir):
+    """With teacher_prob=1 every rollout input is the ground-truth token, so
+    deterministic rollout logits must equal the TF parallel pass step for
+    step (transformer: KV-cache == full pass; LSTM: same recurrence)."""
+    import jax.numpy as jnp
+
+    for decoder in ("transformer", "lstm"):
+        model, state, *_ = make_model_and_state(dataset_dir, decoder=decoder)
+        batch, _ = first_batch(dataset_dir)
+        enc = model.encode(state.params, batch["images"])
+        caps = batch["captions"]
+        T = caps.shape[1] - 1
+        tf_logits, _ = model.tf_forward(state.params, enc, caps)
+        ro_logits, seqs, _ = model.rollout(
+            state.params, enc, 1, 2, T,
+            rng=jax.random.PRNGKey(0), deterministic=True,
+            teacher_tokens=caps, teacher_prob=1.0,
+        )
+        # Compare only within each caption (t < caplen-1): beyond it the
+        # teacher feeds <pad> tokens that the TF pass masks out of self-attn
+        # (key padding mask) while rollouts never mask — the same asymmetry
+        # the reference has between its TF and no-TF paths.  Also stop at the
+        # rollout's decode length (outputs are zeroed after <end>).
+        from tpu_captioner.eval.metrics import decode_lengths_from_sequences
+
+        lengths = np.asarray(decode_lengths_from_sequences(seqs, 2, T))
+        caplens = np.asarray(batch["caplens"])
+        tf_np, ro_np = np.asarray(tf_logits), np.asarray(ro_logits)
+        for i in range(tf_np.shape[0]):
+            n = min(lengths[i], caplens[i] - 1)
+            np.testing.assert_allclose(
+                ro_np[i, :n], tf_np[i, :n], atol=2e-4,
+                err_msg=f"{decoder} row {i}",
+            )
