@@ -27,7 +27,25 @@ def main():
     from tpu_captioner.data.loader import ShardedLoader
     from tpu_captioner.train.loop import Trainer
 
+    # Reference .pth.tar checkpoints are ported on load (torch unpickle ->
+    # param trees), enabling direct BLEU-parity evaluation of models trained
+    # by the reference code.
+    ref_ckpt = None
+    if exp.train.checkpoint and exp.train.checkpoint.endswith(".pth.tar"):
+        ref_ckpt, exp.train.checkpoint = exp.train.checkpoint, None
+
     trainer = Trainer(exp, args.dataFolder, args.dataName, mesh=mesh)
+    if ref_ckpt is not None:
+        from tpu_captioner.models.port_torch import port_reference_checkpoint
+
+        enc_p, dec_p, meta = port_reference_checkpoint(
+            ref_ckpt, exp.model.decoder, exp.model.num_layers
+        )
+        trainer.state = trainer.state.replace(
+            params={"encoder": enc_p, "decoder": dec_p}
+        )
+        print(f"Loaded reference checkpoint (epoch {meta['epoch']}, "
+              f"val BLEU-4 {meta['bleu4']})")
     test_loader = ShardedLoader(
         CaptionDataset(args.dataFolder, args.dataName, "TEST"),
         trainer.train_loader.global_batch,
