@@ -217,7 +217,7 @@ class DecoderWithAttention:
             return (h, cc, tok, finished), (logits_out, alpha_out, seq_out)
 
         _, (logits, alphas, seqs) = jax.lax.scan(
-            body, (h0, c0, tok0, fin0), (rngs, steps)
+            body, (h0, c0, tok0, fin0), (rngs, steps), unroll=2
         )
         return (
             jnp.swapaxes(logits, 0, 1),
@@ -332,6 +332,6 @@ class DecoderWithoutAttention:
             return (h, cc, tok, finished), (logits_out, seq_out)
 
         _, (logits, seqs) = jax.lax.scan(
-            body, (h0, c0, tok0, fin0), (rngs, jnp.arange(T))
+            body, (h0, c0, tok0, fin0), (rngs, jnp.arange(T)), unroll=2
         )
         return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(seqs, 0, 1)

@@ -354,7 +354,7 @@ class TransformerDecoder:
             return (tok, finished, cache), out
 
         _, (logits, seqs, alphas) = jax.lax.scan(
-            body, (tok0, fin0, cache), jnp.arange(max_decode_len)
+            body, (tok0, fin0, cache), jnp.arange(max_decode_len), unroll=2
         )
         logits = jnp.swapaxes(logits, 0, 1)
         seqs = jnp.swapaxes(seqs, 0, 1)
