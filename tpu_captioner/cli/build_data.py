@@ -36,6 +36,12 @@ def main():
     s.add_argument("--outputFolder", required=True)
     s.add_argument("--maxLen", type=int, default=50)
 
+    pb = sub.add_parser("port-backbone",
+                        help="torchvision convnext .pth -> torch-free .npz")
+    pb.add_argument("--src", required=True,
+                    help="torchvision convnext_base checkpoint (.pth/.pth.tar)")
+    pb.add_argument("--out", required=True, help="output .npz")
+
     e = sub.add_parser("embeddings")
     e.add_argument("--raw", required=True, help="GloVe text / word2vec binary (.gz ok)")
     e.add_argument("--wordMap", required=True)
@@ -58,6 +64,10 @@ def main():
         from tpu_captioner.data.build import build_synthetic_dataset
 
         build_synthetic_dataset(args.outputFolder, max_len=args.maxLen)
+    elif args.cmd == "port-backbone":
+        from tpu_captioner.models.port_torch import convert_backbone_to_npz
+
+        convert_backbone_to_npz(args.src, args.out)
     elif args.cmd == "embeddings":
         import json
 

@@ -35,6 +35,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--embeddingName", type=str, default=None,
                    help="pretrained embedding preset "
                         "(word2vec-google-news-300 | glove-wiki-gigaword-200)")
+    p.add_argument("--pretrainedEncoder", type=str, default=None,
+                   help="init the ConvNeXt backbone from a torchvision "
+                        "convnext_base state dict (.pth/.pth.tar) or a "
+                        ".npz from 'build_data port-backbone' (the reference "
+                        "always trains from IMAGENET1K_V1)")
     p.add_argument("--batchSize", type=int, default=32)
     p.add_argument("--numDevices", type=int, default=0,
                    help="data-parallel shards (0 = all local devices)")
@@ -48,6 +53,7 @@ def config_from_args(args) -> ExperimentConfig:
         decoder=decoder,
         embedding_name=args.embeddingName,
         compute_dtype=args.computeDtype,
+        pretrained_encoder=getattr(args, "pretrainedEncoder", None),
     )
     train = TrainConfig(
         batch_size=args.batchSize,

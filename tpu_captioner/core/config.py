@@ -76,6 +76,10 @@ class ModelConfig:
     max_len: int = 52  # padded caption length (train.py:44)
     embedding_name: Optional[str] = None  # key into EMBEDDING_PRESETS
     embedding_path: Optional[str] = None
+    # Pretrained ConvNeXt backbone init (reference models/encoder.py:18 uses
+    # torchvision IMAGENET1K_V1).  Path to a torchvision convnext state dict
+    # (.pth/.pth.tar) or a pre-converted .npz (build_data port-backbone).
+    pretrained_encoder: Optional[str] = None
     fine_tune_embeddings: bool = True  # train.py:109
 
     # Numerics: parity mode computes in f32 end-to-end; fast mode runs the

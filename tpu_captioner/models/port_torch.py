@@ -136,6 +136,54 @@ def port_encoder(sd: Mapping[str, Any]) -> Dict:
     return {"convnext": port_convnext_features(sd, prefix="convnext.")}
 
 
+def load_pretrained_backbone(path: str, depths=(3, 3, 27, 3)) -> Dict:
+    """Load pretrained ConvNeXt backbone weights -> ConvNeXtFeatures params.
+
+    The reference trains on torchvision ``convnext_base(IMAGENET1K_V1)``
+    (models/encoder.py:18); this is the init path that gives BLEU parity a
+    chance.  Accepts:
+
+    - ``.npz``: torchvision feature-keyed arrays, as written by
+      ``build_data port-backbone`` (torch-free load path);
+    - torch files (``.pth``/``.pt``/``.pth.tar``/``.bin``): a torchvision
+      ``convnext_base`` model/state_dict (keys ``features.*``), a wrapper
+      dict with ``state_dict``/``model``, or a bare features dict.
+    """
+    if path.endswith(".npz"):
+        sd: Dict[str, Any] = dict(np.load(path))
+    else:
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        if hasattr(obj, "state_dict"):  # a full nn.Module was pickled
+            obj = obj.state_dict()
+        for wrapper in ("state_dict", "model"):
+            if isinstance(obj, dict) and isinstance(obj.get(wrapper), dict):
+                obj = obj[wrapper]
+        sd = dict(obj)
+    if any(k.startswith("features.") for k in sd):
+        sd = {
+            k[len("features."):]: v
+            for k, v in sd.items()
+            if k.startswith("features.")
+        }
+    return port_convnext_features(sd, depths=depths)
+
+
+def convert_backbone_to_npz(src: str, out: str) -> None:
+    """Torch ``convnext_base`` checkpoint -> ``.npz`` of numpy arrays so
+    training hosts never need torch (``build_data port-backbone``)."""
+    import torch
+
+    obj = torch.load(src, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    for wrapper in ("state_dict", "model"):
+        if isinstance(obj, dict) and isinstance(obj.get(wrapper), dict):
+            obj = obj[wrapper]
+    np.savez(out, **{k: _np(v) for k, v in obj.items()})
+
+
 # ---------------------------------------------------------------------------
 # Decoders
 # ---------------------------------------------------------------------------

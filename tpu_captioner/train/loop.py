@@ -120,6 +120,10 @@ class Trainer:
             root_key(tc.seed), image_size=exp.data.image_size,
             pretrained_embeddings=pretrained,
         )
+        if exp.model.pretrained_encoder:
+            params["encoder"]["convnext"] = self._load_backbone(
+                exp.model.pretrained_encoder, params["encoder"]["convnext"]
+            )
         self.state = TrainState.create(params, self.dec_opt, self.enc_opt)
 
         # Host bookkeeping (reference globals, train.py:47-57).
@@ -151,6 +155,41 @@ class Trainer:
             CaptionDataset(self.data_folder, self.data_name, "VAL"),
             global_batch, self.mesh, seed=tc.seed, shuffle=False,
         )
+
+    def _load_backbone(self, path: str, init_backbone):
+        """Pretrained ConvNeXt init (reference models/encoder.py:18): load,
+        then validate the tree against the randomly-initialized one so a
+        wrong-size checkpoint fails loudly at startup, not mid-epoch."""
+        from tpu_captioner.models.port_torch import load_pretrained_backbone
+
+        depths = tuple(self.exp.model.encoder_depths)
+        try:
+            loaded = load_pretrained_backbone(path, depths=depths)
+        except KeyError as e:
+            raise ValueError(
+                f"pretrained encoder {path!r} is missing key {e} for the "
+                f"configured backbone (depths={depths}) — is it a torchvision "
+                "convnext state dict of the right size?"
+            ) from e
+        flat_init = jax.tree_util.tree_flatten_with_path(init_backbone)[0]
+        flat_new = dict(jax.tree_util.tree_flatten_with_path(loaded)[0])
+        problems = []
+        for kp, a in flat_init:
+            name = jax.tree_util.keystr(kp)
+            b = flat_new.get(kp)
+            if b is None:
+                problems.append(f"missing {name}")
+            elif tuple(a.shape) != tuple(b.shape):
+                problems.append(f"{name}: shape {tuple(b.shape)} != {tuple(a.shape)}")
+        if problems or len(flat_new) != len(flat_init):
+            raise ValueError(
+                f"pretrained encoder {path!r} does not match the configured "
+                f"backbone ({len(flat_new)} vs {len(flat_init)} params): "
+                + "; ".join(problems[:5])
+            )
+        if self.verbose:
+            print(f"Initialized encoder backbone from {path}", flush=True)
+        return loaded
 
     # -- compiled steps -----------------------------------------------------
     def _train_step(self):
