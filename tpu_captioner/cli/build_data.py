@@ -35,6 +35,14 @@ def main():
     s = sub.add_parser("synthetic")
     s.add_argument("--outputFolder", required=True)
     s.add_argument("--maxLen", type=int, default=50)
+    s.add_argument("--imageSize", type=int, default=256)
+    s.add_argument("--trainImages", type=int, default=32)
+    s.add_argument("--valImages", type=int, default=8)
+    s.add_argument("--testImages", type=int, default=8)
+    s.add_argument("--learnable", action="store_true",
+                   help="class-coded images with content-derived captions "
+                        "(val BLEU can reach ~1.0)")
+    s.add_argument("--numClasses", type=int, default=16)
 
     pb = sub.add_parser("port-backbone",
                         help="torchvision convnext .pth -> torch-free .npz")
@@ -63,7 +71,12 @@ def main():
     elif args.cmd == "synthetic":
         from tpu_captioner.data.build import build_synthetic_dataset
 
-        build_synthetic_dataset(args.outputFolder, max_len=args.maxLen)
+        build_synthetic_dataset(
+            args.outputFolder, max_len=args.maxLen, image_size=args.imageSize,
+            num_images={"TRAIN": args.trainImages, "VAL": args.valImages,
+                        "TEST": args.testImages},
+            learnable=args.learnable, n_classes=args.numClasses,
+        )
     elif args.cmd == "port-backbone":
         from tpu_captioner.models.port_torch import convert_backbone_to_npz
 

@@ -206,14 +206,18 @@ def build_synthetic_dataset(
     image_size: int = 256,
     seed_: int = 0,
     learnable: bool = False,
+    n_classes: int = 16,
 ) -> Dict[str, int]:
     """Generate a tiny random dataset in the framework's record format.
 
     Used by tests and by bench.py when no real COCO/Flickr8k artifacts exist
     on the machine (the reference assumed a cluster-mounted dataset).
-    With ``learnable=True`` each image's captions are a deterministic
-    function of its index (all cpi copies identical), so a model can overfit
-    the image->caption mapping — used by the learning-sanity test.
+    With ``learnable=True`` every image renders one of ``n_classes``
+    class-coded color patterns (plus per-image noise) and its captions are a
+    deterministic function of that CLASS — i.e. of the image *content*.  A
+    model that learns the mapping reaches BLEU ~1.0 on unseen VAL/TEST
+    images, so the full train -> rollout -> BLEU -> best-checkpoint pipeline
+    can be demonstrated end to end without COCO on the machine.
     """
     rng = np.random.default_rng(seed_)
     num_images = num_images or {"TRAIN": 32, "VAL": 8, "TEST": 8}
@@ -223,15 +227,32 @@ def build_synthetic_dataset(
     os.makedirs(output_folder, exist_ok=True)
     save_word_map(word_map, os.path.join(output_folder, f"WORDMAP_{base}.json"))
 
+    # Class palette: fixed across splits so VAL/TEST images are NEW samples
+    # (fresh noise) of the same visual classes seen in TRAIN.
+    palette = np.random.default_rng(1234).integers(
+        30, 226, size=(n_classes, 3), dtype=np.int64
+    )
+
     for split, n in num_images.items():
-        images = rng.integers(0, 256, size=(n, image_size, image_size, 3), dtype=np.uint8)
+        if learnable:
+            cls = np.arange(n) % n_classes
+            noise = rng.integers(
+                -25, 26, size=(n, image_size, image_size, 3), dtype=np.int64
+            )
+            images = np.clip(
+                palette[cls][:, None, None, :] + noise, 0, 255
+            ).astype(np.uint8)
+        else:
+            images = rng.integers(
+                0, 256, size=(n, image_size, image_size, 3), dtype=np.uint8
+            )
         np.save(os.path.join(output_folder, f"{split}_IMAGES_{base}.npy"), images)
         caps, lens = [], []
         for i in range(n * captions_per_image):
             if learnable:
-                img = i // captions_per_image
-                L = 4 + (img % 4)
-                toks = [words[(img * 7 + 3 * j) % vocab_words] for j in range(L)]
+                c = int(cls[i // captions_per_image])
+                L = 4 + (c % 4)
+                toks = [words[(c * 7 + 3 * j) % vocab_words] for j in range(L)]
             else:
                 L = int(rng.integers(4, min(18, max_len)))
                 toks = [words[int(rng.integers(0, vocab_words))] for _ in range(L)]
