@@ -56,6 +56,62 @@ def test_vjp_matches_autodiff_of_reference():
         np.testing.assert_allclose(np.asarray(gm), np.asarray(gr), atol=1e-3)
 
 
+@pytest.mark.parametrize("sd", ["ones", "mixed"])
+def test_pallas_bwd_kernel_matches_autodiff(sd):
+    """The hand-written backward kernel == autodiff of the XLA reference."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    args = make_args(sd=sd)
+    g = jax.random.normal(jax.random.PRNGKey(11), (N, C))
+
+    def f_ref(*a):
+        return jnp.sum(_reference_impl(*a) * g)
+
+    grads_ref = jax.grad(f_ref, argnums=tuple(range(10)))(*args)
+
+    def f_pallas(*a):
+        return jnp.sum(fused_convnext_mlp(*a, True, True) * g)
+
+    with pltpu.force_tpu_interpret_mode():
+        grads_pallas = jax.grad(f_pallas, argnums=tuple(range(10)))(*args)
+    for k, (gr, gm) in enumerate(zip(grads_ref, grads_pallas)):
+        np.testing.assert_allclose(
+            np.asarray(gm), np.asarray(gr), atol=2e-3, err_msg=f"arg {k}"
+        )
+
+
+def test_pallas_bwd_kernel_tail_masking():
+    """Rows past n in the last tile must not pollute parameter grads: use an
+    n that forces a partial final tile (tile=512 -> 600 = 512 + 88)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_captioner.ops.mlp_block import _bwd_pallas
+
+    n = 600
+    ks = jax.random.split(jax.random.PRNGKey(3), 10)
+    x = jax.random.normal(ks[0], (n, C))
+    sd_scale = jnp.where(jax.random.bernoulli(ks[2], 0.7, (n,)), 2.0, 0.0)
+    ln_s = 1.0 + 0.1 * jax.random.normal(ks[3], (C,))
+    ln_b = 0.1 * jax.random.normal(ks[4], (C,))
+    w1 = jax.random.normal(ks[5], (C, 4 * C)) * 0.05
+    b1 = 0.1 * jax.random.normal(ks[6], (4 * C,))
+    w2 = jax.random.normal(ks[7], (4 * C, C)) * 0.05
+    b2 = 0.1 * jax.random.normal(ks[8], (C,))
+    gamma = 0.5 * jax.random.normal(ks[9], (C,))
+    g = jax.random.normal(ks[1], (n, C))
+
+    from tpu_captioner.ops.mlp_block import _core_impl
+
+    _, vjp = jax.vjp(_core_impl, x, sd_scale, ln_s, ln_b, w1, b1, w2, b2, gamma)
+    want = vjp(g)
+    with pltpu.force_tpu_interpret_mode():
+        got = _bwd_pallas(g, x, sd_scale, ln_s, ln_b, w1, b1, w2, b2, gamma)
+    for k, (gr, gm) in enumerate(zip(want, got)):
+        np.testing.assert_allclose(
+            np.asarray(gm), np.asarray(gr), atol=2e-3, err_msg=f"arg {k}"
+        )
+
+
 def test_pallas_bf16_mxu_close_to_reference():
     from jax.experimental.pallas import tpu as pltpu
 

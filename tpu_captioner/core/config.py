@@ -88,6 +88,9 @@ class ModelConfig:
     # Pallas kernels for the hot encoder ops: 'auto' enables them on TPU
     # backends only (CPU tests run the XLA fallbacks).
     use_pallas: str = "auto"  # 'auto' | 'on' | 'off'
+    # Rematerialize ConvNeXt blocks in the backward pass ('auto' keeps it on;
+    # see models/convnext.py Stage for the measured trade-offs).
+    encoder_remat: str = "auto"  # 'auto' | 'on' | 'off'
 
     def __post_init__(self):
         if self.decoder not in DECODER_TYPES:

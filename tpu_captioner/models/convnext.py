@@ -26,7 +26,7 @@ XLA keeps the channel axis on the 128-wide lane dimension of the MXU/VPU.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -258,7 +258,11 @@ class ConvNeXtFeatures(nn.Module):
     depths: Sequence[int] = BASE_DEPTHS
     dims: Sequence[int] = BASE_DIMS
     sd_rate: float = BASE_SD_RATE
-    pallas_mode: str = "off"
+    # One mode for all stages, or a per-stage tuple (e.g. fused kernels for
+    # the frozen forward-only stages, XLA for backward-traversed ones —
+    # serialized Pallas launches in the backward scan cannot pipeline).
+    pallas_mode: Any = "off"
+    remat: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -270,9 +274,14 @@ class ConvNeXtFeatures(nn.Module):
         for s, (depth, dim) in enumerate(zip(self.depths, self.dims)):
             if s > 0:
                 x = Downsample(dim, self.dtype, name=f"features_{2 * s}")(x)
+            mode = (
+                self.pallas_mode[s]
+                if isinstance(self.pallas_mode, (tuple, list))
+                else self.pallas_mode
+            )
             x = Stage(
-                dim, depth, sd[off : off + depth], self.pallas_mode,
-                dtype=self.dtype, name=f"features_{2 * s + 1}"
+                dim, depth, sd[off : off + depth], mode,
+                remat=self.remat, dtype=self.dtype, name=f"features_{2 * s + 1}"
             )(x, deterministic=deterministic)
             off += depth
         return x  # (B, H/32, W/32, dims[-1])

@@ -41,7 +41,8 @@ class ConvNeXtEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     depths: tuple = (3, 3, 27, 3)
     dims: tuple = (128, 256, 512, 1024)
-    pallas_mode: str = "off"
+    pallas_mode: Any = "off"  # str or per-stage tuple (see ConvNeXtFeatures)
+    remat: str = "auto"
 
     @nn.compact
     def __call__(self, images, *, deterministic: bool = True):
@@ -49,7 +50,7 @@ class ConvNeXtEncoder(nn.Module):
         Returns (B, enc, enc, dims[-1])."""
         x = ConvNeXtFeatures(
             depths=self.depths, dims=self.dims, pallas_mode=self.pallas_mode,
-            dtype=self.dtype, name="convnext"
+            remat=self.remat, dtype=self.dtype, name="convnext"
         )(images, deterministic=deterministic)
         x = adaptive_avg_pool_nhwc(x, self.encoded_image_size)
         return x

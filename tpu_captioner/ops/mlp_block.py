@@ -15,13 +15,17 @@ a round trip to HBM for every block — ~6 GB per ConvNeXt-Base forward at
 batch 32 (stage 1 alone: 268 MB per block).  Here ``h`` lives only in VMEM;
 HBM traffic per block drops to one read of x/residual and one write of out.
 
-Backward: custom VJP that differentiates the XLA reference implementation
-(fine-tuning correctness without a hand-written backward kernel).
+Backward: a second Pallas kernel (``_bwd_pallas``) that recomputes the
+LN/GELU intermediates per row tile in VMEM and accumulates the weight/bias
+gradients across tiles in VMEM-resident output blocks — the (rows, 4C)
+intermediate never touches HBM in either direction.  The XLA reference
+implementation remains the CPU fallback for both directions.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -51,15 +55,22 @@ def _gelu_kernel(x):
     return 0.5 * x * (1.0 + _erf_as(x * 0.7071067811865476))
 
 
-def _reference_impl(x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
-    """Plain-XLA implementation (also the CPU fallback and the VJP source)."""
+def _core_impl(x, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
+    """Everything except the residual add, in f32 (the CPU-fallback VJP source
+    — the residual's gradient is just the cotangent, so it is kept out)."""
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
     xn = (x32 - mu) * jax.lax.rsqrt(var + LN_EPS) * ln_scale + ln_bias
     h = _gelu_exact(xn @ w1 + b1)
     y = (h @ w2 + b2) * gamma
-    return (residual.astype(jnp.float32) + sd_scale[:, None] * y).astype(x.dtype)
+    return sd_scale[:, None] * y
+
+
+def _reference_impl(x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
+    """Plain-XLA implementation (also the CPU fallback)."""
+    y = _core_impl(x, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+    return (residual.astype(jnp.float32) + y).astype(x.dtype)
 
 
 def _kernel(x_ref, res_ref, sd_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
@@ -145,19 +156,191 @@ def fused_convnext_mlp(
     )
 
 
+def _bwd_kernel(g_ref, x_ref, sd_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
+                w2_ref, b2_ref, gamma_ref,
+                dx_ref, dsd_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref,
+                dw2_ref, db2_ref, dgamma_ref,
+                aw1_ref, aw2_ref, asmall_ref, *, n_rows, mxu_dtype):
+    i = pl.program_id(0)
+    tile = g_ref.shape[0]
+    c, c4 = w1_ref.shape
+    # The last tile may read past n_rows: out-of-bounds rows hold undefined
+    # data (could be inf/NaN), so zero them before they touch any reduction.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + i * tile
+    valid = row_ids < n_rows  # where(), not *: padding may be NaN, 0*NaN=NaN
+
+    g = jnp.where(valid, g_ref[:].astype(jnp.float32), 0.0)
+    x = jnp.where(valid, x_ref[:].astype(jnp.float32), 0.0)
+    sd = jnp.where(valid, sd_ref[:], 0.0)
+    lns, lnb, gamma = lns_ref[0], lnb_ref[0], gamma_ref[0]
+
+    def mm(a, b, dims):
+        return jax.lax.dot_general(
+            a.astype(mxu_dtype), b.astype(mxu_dtype),
+            dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # --- recompute the forward intermediates for this tile (stays in VMEM)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (x - mu) * r
+    xn = xhat * lns + lnb
+    a = mm(xn, w1_ref[:], ((1,), (0,))) + b1_ref[0]
+    h = _gelu_kernel(a)
+    u = mm(h, w2_ref[:], ((1,), (0,))) + b2_ref[0]
+
+    # --- backward chain
+    d_y = g * sd  # cotangent of u * gamma, rows pre-scaled by stoch. depth
+    dsd_ref[:] = jnp.sum(g * (u * gamma), axis=-1, keepdims=True)
+    d_u = d_y * gamma
+    d_h = mm(d_u, w2_ref[:], ((1,), (1,)))  # (T,C)x(C4,C) -> (T,C4)
+    # gelu'(a) = Phi(a) + a*phi(a)
+    phi = jnp.exp(-0.5 * a * a) * 0.3989422804014327
+    cdf = 0.5 * (1.0 + _erf_as(a * 0.7071067811865476))
+    d_a = d_h * (cdf + a * phi)
+    d_xn = mm(d_a, w1_ref[:], ((1,), (1,)))  # (T,C4)x(C,C4) -> (T,C)
+    d_xhat = d_xn * lns
+    m1 = jnp.mean(d_xhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(d_xhat * xhat, axis=-1, keepdims=True)
+    dx_ref[:] = (r * (d_xhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+    # --- parameter gradients: accumulate in scratch across the sequential
+    # grid; the HBM outputs are written exactly once, at the last step.
+    @pl.when(i == 0)
+    def _init():
+        aw1_ref[:] = jnp.zeros_like(aw1_ref)
+        aw2_ref[:] = jnp.zeros_like(aw2_ref)
+        asmall_ref[:] = jnp.zeros_like(asmall_ref)
+
+    aw1_ref[:] += mm(xn, d_a, ((0,), (0,)))  # (C,C4)
+    aw2_ref[:] += mm(h, d_u, ((0,), (0,)))  # (C4,C)
+    asmall_ref[0, :c] += jnp.sum(d_xn * xhat, axis=0)  # d_ln_scale
+    asmall_ref[1, :c] += jnp.sum(d_xn, axis=0)  # d_ln_bias
+    asmall_ref[2, :] += jnp.sum(d_a, axis=0)  # d_b1 (full 4C row)
+    asmall_ref[3, :c] += jnp.sum(d_u, axis=0)  # d_b2
+    asmall_ref[4, :c] += jnp.sum(d_y * u, axis=0)  # d_gamma
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _flush():
+        dw1_ref[:] = aw1_ref[:]
+        dw2_ref[:] = aw2_ref[:]
+        dlns_ref[:] = asmall_ref[0:1, :c]
+        dlnb_ref[:] = asmall_ref[1:2, :c]
+        db1_ref[:] = asmall_ref[2:3, :]
+        db2_ref[:] = asmall_ref[3:4, :c]
+        dgamma_ref[:] = asmall_ref[4:5, :c]
+
+
+def _bwd_pallas(g, x, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                mxu_dtype=jnp.float32):
+    n, c = x.shape
+    c4 = w1.shape[1]
+    # Stage-4 weights + weight-grad accumulators are 4 x 16.8 MB f32; keep the
+    # row tile small enough that tile intermediates fit alongside them.
+    tile = min(512 if c < 1024 else 256, n)
+    grid = (pl.cdiv(n, tile),)
+    kernel = functools.partial(_bwd_kernel, n_rows=n, mxu_dtype=mxu_dtype)
+    est = 4 * (5 * tile * c + 4 * tile * c4 + 4 * c * c4 + 2 * (c + c4))
+    vmem_cap = int(est * 1.25) if est > 14 * 1024 * 1024 else None
+    row2 = lambda: pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    col1 = lambda: pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, c), x.dtype),     # d_x
+            jax.ShapeDtypeStruct((n, 1), f32),          # d_sd
+            jax.ShapeDtypeStruct((1, c), f32),          # d_ln_scale
+            jax.ShapeDtypeStruct((1, c), f32),          # d_ln_bias
+            jax.ShapeDtypeStruct((c, c4), f32),         # d_w1
+            jax.ShapeDtypeStruct((1, c4), f32),         # d_b1
+            jax.ShapeDtypeStruct((c4, c), f32),         # d_w2
+            jax.ShapeDtypeStruct((1, c), f32),          # d_b2
+            jax.ShapeDtypeStruct((1, c), f32),          # d_gamma
+        ),
+        grid=grid,
+        in_specs=[
+            row2(), row2(), col1(),
+            rep((1, c)), rep((1, c)),
+            rep((c, c4)), rep((1, c4)),
+            rep((c4, c)), rep((1, c)),
+            rep((1, c)),
+        ],
+        out_specs=(
+            row2(), col1(),
+            rep((1, c)), rep((1, c)),
+            rep((c, c4)), rep((1, c4)),
+            rep((c4, c)), rep((1, c)),
+            rep((1, c)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c, c4), f32),   # d_w1 accumulator
+            pltpu.VMEM((c4, c), f32),   # d_w2 accumulator
+            pltpu.VMEM((5, c4), f32),   # lns/lnb/b1/b2/gamma accumulators
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # Sequential grid: the scratch accumulators carry across steps,
+            # which "parallel" would not guarantee.
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_cap,
+        ),
+    )(
+        g, x, sd_scale[:, None],
+        ln_scale[None], ln_bias[None],
+        w1, b1[None], w2, b2[None], gamma[None],
+    )
+    d_x, d_sd, d_lns, d_lnb, d_w1, d_b1, d_w2, d_b2, d_gamma = outs
+    return (
+        d_x,
+        d_sd[:, 0].astype(sd_scale.dtype),
+        d_lns[0].astype(ln_scale.dtype),
+        d_lnb[0].astype(ln_bias.dtype),
+        d_w1.astype(w1.dtype),
+        d_b1[0].astype(b1.dtype),
+        d_w2.astype(w2.dtype),
+        d_b2[0].astype(b2.dtype),
+        d_gamma[0].astype(gamma.dtype),
+    )
+
+
 def _fwd(x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
          use_pallas, precise):
     out = fused_convnext_mlp(
         x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
         use_pallas, precise,
     )
-    return out, (x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+    # The residual itself is NOT needed in the backward (its grad is the
+    # cotangent); save only a dtype witness so d_residual matches its aval.
+    res_dtype_witness = jnp.zeros((), residual.dtype)
+    return out, (x, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                 res_dtype_witness)
 
 
 def _bwd(use_pallas, precise, res, g):
-    # Differentiate the XLA reference implementation (recompute-in-backward).
-    _, vjp = jax.vjp(_reference_impl, *res)
-    return vjp(g)
+    x, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma, res_w = res
+    d_residual = g.astype(res_w.dtype)
+    if os.environ.get("TPU_CAPTIONER_MLP_BWD") == "xla":
+        use_pallas = False
+    if use_pallas:
+        (d_x, d_sd, d_lns, d_lnb, d_w1, d_b1, d_w2, d_b2, d_gamma) = _bwd_pallas(
+            g, x, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+            mxu_dtype=jnp.float32 if precise else jnp.bfloat16,
+        )
+    else:
+        _, vjp = jax.vjp(
+            _core_impl, x, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma
+        )
+        (d_x, d_sd, d_lns, d_lnb, d_w1, d_b1, d_w2, d_b2, d_gamma) = vjp(
+            g.astype(jnp.float32)
+        )
+        # out = (residual + core).astype(x.dtype): fold the cast back in.
+        d_x = d_x.astype(x.dtype)
+    return (d_x, d_residual, d_sd, d_lns, d_lnb, d_w1, d_b1, d_w2, d_b2, d_gamma)
 
 
 fused_convnext_mlp.defvjp(_fwd, _bwd)

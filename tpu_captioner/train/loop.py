@@ -104,6 +104,18 @@ class Trainer:
         import dataclasses as _dc
 
         self.eval_model = CaptionModel(_dc.replace(exp.model, use_pallas="off"))
+        # Fine-tune steps keep the fused kernels on stages 1-3 but run stage 4
+        # on XLA: its 3-block weight-grad stack (48 MB) is what XLA insists on
+        # staging in scoped VMEM in the backward scan (measured 71.9 vs OOM /
+        # 183.8 ms/step on v5e — BENCHMARKING.md round 2).  Params are shared;
+        # explicit per-stage configs are respected as given.
+        up = exp.model.use_pallas
+        if isinstance(up, str):
+            self.ft_model = CaptionModel(
+                _dc.replace(exp.model, use_pallas=(up, up, up, "off"))
+            )
+        else:
+            self.ft_model = self.model
 
         tc = exp.train
         self.dec_opt = make_optimizer(tc.decoder_lr, tc.grad_clip)
@@ -196,7 +208,8 @@ class Trainer:
         key = (self.exp.train.teacher_forcing, self.fine_tune_encoder)
         if key not in self._step_cache:
             self._step_cache[key] = make_train_step(
-                self.model, self.exp.train, self.word_ids,
+                self.ft_model if key[1] else self.model,
+                self.exp.train, self.word_ids,
                 self.dec_opt, self.enc_opt,
                 teacher_forcing=key[0], train_encoder=key[1], mesh=self.mesh,
             )
@@ -270,8 +283,7 @@ class Trainer:
             is_coordinator,
         )
 
-        for batch in loader.epoch(epoch):
-            aux = eval_step(self.state.params, batch)
+        def consume(aux, batch):
             seqs, lengths = jax.device_get((aux["sequences"], aux["lengths"]))
             all_caps, valid = jax.device_get((batch["all_captions"], batch["valid"]))
             # Multi-host: all-gather the fixed-shape outputs (replaces the
@@ -288,6 +300,18 @@ class Trainer:
             device_metrics.append(
                 {k: aux[k] for k in ("loss", "tokens", "top5_correct")}
             )
+
+        # One-step software pipeline: dispatch batch i+1's eval step (async)
+        # BEFORE fetching/assembling batch i on the host, so the device works
+        # through the next rollout while the host builds BLEU corpora.
+        prev = None
+        for batch in loader.epoch(epoch):
+            aux = eval_step(self.state.params, batch)
+            if prev is not None:
+                consume(*prev)
+            prev = (aux, batch)
+        if prev is not None:
+            consume(*prev)
         fetched = jax.device_get(device_metrics)
         tokens = np.array([m["tokens"] for m in fetched])
         losses = np.array([m["loss"] for m in fetched])

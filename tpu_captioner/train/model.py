@@ -44,21 +44,31 @@ class CaptionModel:
         # work and the fused kernel loses badly — the Trainer therefore uses
         # a separate 'off' eval model (same param tree) for rollout/beam.
         # 'block' -> fully-fused block kernel; 'on' == 'mlp'; 'off' -> XLA.
-        mode = c.use_pallas
-        if mode == "auto":
-            on_tpu = jax.default_backend() not in ("cpu",)
-            transformer = c.decoder in ("transformer", "transformer_attvis")
-            mode = "mlp" if (on_tpu and transformer) else "off"
-        elif mode in ("on", True):
-            mode = "mlp"
-        elif mode in (False, "off"):
-            mode = "off"
+        def resolve(mode):
+            if mode == "auto":
+                on_tpu = jax.default_backend() not in ("cpu",)
+                transformer = c.decoder in ("transformer", "transformer_attvis")
+                return "mlp" if (on_tpu and transformer) else "off"
+            if mode in ("on", True):
+                return "mlp"
+            if mode in (False, "off"):
+                return "off"
+            return mode
+
+        # use_pallas may be a per-stage tuple: serialized Pallas launches in
+        # a backward-traversed scan cannot pipeline, so fine-tuning wants
+        # fused kernels only on the frozen (forward-only) stages.
+        if isinstance(c.use_pallas, (tuple, list)):
+            mode = tuple(resolve(m) for m in c.use_pallas)
+        else:
+            mode = resolve(c.use_pallas)
         self.encoder = ConvNeXtEncoder(
             encoded_image_size=c.encoded_image_size,
             dtype=dtype,
             depths=tuple(c.encoder_depths),
             dims=tuple(c.encoder_dims),
             pallas_mode=mode,
+            remat=c.encoder_remat,
         )
         if c.decoder == "lstm":
             self.decoder = DecoderWithAttention(c)

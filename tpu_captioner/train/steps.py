@@ -172,10 +172,25 @@ def make_train_step(
 
     def step_fn(state: TrainState, batch, rng):
         if train_encoder:
-            grads, aux = jax.grad(loss_for, has_aux=True)(state.params, batch, rng)
             enc_mask = fine_tune_mask(
                 state.params["encoder"], True, cfg.starting_layer
             )
+
+            # stop_gradient on the frozen children's params: children below
+            # ``starting_layer`` sit upstream of every trainable one, so with
+            # their param grads cut the backward pass prunes at the first
+            # trainable stage's input instead of running to the stem and
+            # being zeroed after the fact (~19% of encoder FLOPs at layer 5).
+            def ft_loss(params, batch, rng):
+                enc = jax.tree_util.tree_map(
+                    lambda p, m: p if m else jax.lax.stop_gradient(p),
+                    params["encoder"], enc_mask,
+                )
+                return loss_for(
+                    {"encoder": enc, "decoder": params["decoder"]}, batch, rng
+                )
+
+            grads, aux = jax.grad(ft_loss, has_aux=True)(state.params, batch, rng)
             enc_grads = zero_frozen(grads["encoder"], enc_mask)
             enc_updates, enc_opt_state = enc_opt.update(
                 enc_grads, state.enc_opt_state, state.params["encoder"]
@@ -226,9 +241,26 @@ def make_train_step(
         }
         return new_state, metrics
 
+    # Fine-tuning with the fused Pallas kernels: XLA stages the backward
+    # kernel's stage-4 operands (three 16.8 MB weight blocks + accumulators)
+    # in scoped VMEM inside the scan-body fusion, which blows the default
+    # 16 MB scoped budget ("Ran out of memory in memory space vmem ...
+    # scoped allocation").  Raise the budget for this program only.
+    compiler_options = None
+    if train_encoder and jax.default_backend() == "tpu":
+        pm = getattr(model.encoder, "pallas_mode", "off")
+        uses_pallas = any(m != "off" for m in pm) if isinstance(
+            pm, (tuple, list)
+        ) else pm != "off"
+        if uses_pallas:
+            import os
+
+            limit = int(os.environ.get("TPU_CAPTIONER_SCOPED_VMEM_KIB", 65536))
+            compiler_options = {"xla_tpu_scoped_vmem_limit_kib": limit}
+
     repl, data_sh = _shardings(mesh)
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return jax.jit(step_fn, donate_argnums=(0,), compiler_options=compiler_options)
     batch_sh = {
         "images": data_sh, "captions": data_sh, "caplens": data_sh, "valid": data_sh,
     }
@@ -237,6 +269,7 @@ def make_train_step(
         in_shardings=(repl, batch_sh, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
+        compiler_options=compiler_options,
     )
 
 
