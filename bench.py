@@ -81,6 +81,10 @@ def main():
     log(f"{iters} steps: {dt:.2f}s ({dt/iters*1e3:.1f} ms/step)")
 
     baseline_per_gpu = 32 / 0.172  # ≈186 imgs/s/GPU (BASELINE.md)
+    from tpu_captioner.eval.flops import mfu, train_step_flops
+
+    step_flops = train_step_flops(B, V, decoder="transformer")
+    util = mfu(step_flops, dt / iters)
     result = {
         "metric": "train_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 2),
@@ -88,6 +92,8 @@ def main():
         "vs_baseline": round(imgs_per_sec / baseline_per_gpu, 3),
         "config": "ConvNeXt-Base frozen + Transformer TF, bs=32, f32",
         "sec_per_batch": round(dt / iters, 4),
+        "model_tflops_per_step": round(step_flops / 1e12, 3),
+        "mfu": round(util, 4) if util is not None else None,
     }
     print(json.dumps(result))
 

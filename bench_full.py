@@ -61,15 +61,33 @@ def main():
     eval_batch = dict(batch, all_captions=jnp.zeros((B, 5, 52), jnp.int32))
     results = []
 
-    def emit(metric, sec_per_batch, ref_sec_per_batch, unit="sec/batch32"):
+    from tpu_captioner.eval.flops import (
+        eval_step_flops,
+        mfu,
+        train_step_flops,
+    )
+
+    def emit(metric, sec_per_batch, ref_sec_per_batch, unit="sec/batch32",
+             flops=None):
         row = {
             "metric": metric,
             "value": round(sec_per_batch, 4),
             "unit": unit,
             "vs_baseline": round(ref_sec_per_batch / sec_per_batch, 2),
         }
+        if flops is not None:
+            util = mfu(flops, sec_per_batch)
+            row["model_tflops_per_step"] = round(flops / 1e12, 3)
+            row["mfu"] = round(util, 4) if util is not None else None
         results.append(row)
         print(json.dumps(row), flush=True)
+
+    # Fine-tune steps run stage 4 on XLA like the Trainer does (its weight-
+    # grad stack OOMs scoped VMEM in the backward scan; BENCHMARKING.md).
+    ft_model = CaptionModel(
+        ModelConfig(decoder="transformer", vocab_size=V, compute_dtype=dtype,
+                    use_pallas=("auto", "auto", "auto", "off"))
+    )
 
     # 1) TF train, frozen encoder.
     for train_encoder, name, ref in [
@@ -82,7 +100,7 @@ def main():
             jax.tree_util.tree_map(jnp.copy, params), dec_opt, enc_opt
         )
         step = make_train_step(
-            model, tc, wid, dec_opt, enc_opt,
+            ft_model if train_encoder else model, tc, wid, dec_opt, enc_opt,
             teacher_forcing=True, train_encoder=train_encoder,
         )
         t0 = time.perf_counter()
@@ -94,7 +112,8 @@ def main():
         for i in range(n):
             state, m = step(state, batch, jax.random.PRNGKey(i))
         float(m["loss"])  # host fetch forces completion
-        emit(name, (time.perf_counter() - t0) / n, ref)
+        emit(name, (time.perf_counter() - t0) / n, ref,
+             flops=train_step_flops(B, V, train_encoder=train_encoder))
         del state
 
     # 2) Free-running greedy eval (51 cached decode steps).  Mirrors the
@@ -114,7 +133,8 @@ def main():
     for _ in range(n):
         aux = eval_step(params, eval_batch)
     float(aux["loss"])  # host fetch forces completion
-    emit("greedy_rollout_eval", (time.perf_counter() - t0) / n, 0.73)
+    emit("greedy_rollout_eval", (time.perf_counter() - t0) / n, 0.73,
+         flops=eval_step_flops(B, V))
 
     # 3) Beam-5 captioning throughput.
     t0 = time.perf_counter()
@@ -133,11 +153,18 @@ def main():
         )
     float(res.score[0])  # host fetch forces completion
     dt = (time.perf_counter() - t0) / n
+    # Baseline: the reference algorithm measured on THIS host's CPU by
+    # scripts/bench_reference_beam.py (one image per call, full-prefix
+    # re-decode, no KV cache — caption.py:160-255), same random-weight
+    # 50-step worst case as this measurement.  The reference pins inference
+    # to CPU by design (caption.py:21).
+    ref_caps_per_sec = 0.069
     row = {
         "metric": "beam5_captions_per_sec",
         "value": round(B / dt, 2),
         "unit": "captions/sec",
-        "vs_baseline": None,
+        "vs_baseline": round(B / dt / ref_caps_per_sec, 1),
+        "baseline_source": "scripts/bench_reference_beam.py (torch CPU, this host)",
     }
     print(json.dumps(row), flush=True)
 
@@ -162,7 +189,8 @@ def main():
     for i in range(n):
         state, m = step(state, batch, jax.random.PRNGKey(i))
     float(m["loss"])  # host fetch forces completion
-    emit("tf_train_lstm_attention", (time.perf_counter() - t0) / n, 0.212)
+    emit("tf_train_lstm_attention", (time.perf_counter() - t0) / n, 0.212,
+         flops=train_step_flops(B, V, decoder="lstm"))
 
     results.append(row)
     with open("BENCH_FULL.json", "w") as f:

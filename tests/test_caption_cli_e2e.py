@@ -61,3 +61,30 @@ def test_caption_cli_end_to_end(tmp_path):
     df = pd.read_csv(out_csv)
     assert list(df.columns) == ["imageFile", "generatedCaption"]
     assert len(df) == 1
+
+    # Directory mode with a PARTIAL group (3 images < group of 8): the batch
+    # is padded to the fixed group size — one compiled program, but exactly
+    # one CSV row per real image, and the single image's caption must match.
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for j in range(3):
+        Image.fromarray(
+            rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        ).save(img_dir / f"im{j}.png")
+    dir_csv = tmp_path / "dir_captions.csv"
+    r2 = subprocess.run(
+        [
+            sys.executable, "-m", "tpu_captioner.cli.caption",
+            "-i", str(img_dir),
+            "-m", ckpt_dir,
+            "-wm", str(d / f"WORDMAP_{BASE}.json"),
+            "-b", "3",
+            "--csv", str(dir_csv),
+        ],
+        capture_output=True, text=True, timeout=600,
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS=""),
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    df2 = pd.read_csv(dir_csv)
+    assert len(df2) == 3
+    assert list(df2["imageFile"]) == ["im0.png", "im1.png", "im2.png"]

@@ -55,6 +55,41 @@ def test_sharded_loader_eval_and_determinism(data_dir):
     assert batch["all_captions"].shape == (8, 5, 10)
 
 
+def test_abandoned_epoch_stops_producer(data_dir):
+    """Dropping the epoch iterator mid-epoch must terminate the prefetch
+    producer thread (it must not linger blocked on the bounded queue)."""
+    import threading
+    import time
+
+    ds = CaptionDataset(data_dir, BASE, "TRAIN")
+    loader = ShardedLoader(ds, global_batch=8, prefetch_depth=1)
+    before = {t.ident for t in threading.enumerate()}
+    it = loader.epoch(0)
+    next(it)  # producer is now alive, possibly blocked on a full queue
+    it.close()  # consumer abandons the epoch
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        alive = [
+            t for t in threading.enumerate()
+            if t.ident not in before and t.is_alive()
+        ]
+        if not alive:
+            break
+        time.sleep(0.05)
+    assert not alive, f"prefetch producer still alive: {alive}"
+
+
+def test_prefetch_propagates_loader_errors(data_dir):
+    from tpu_captioner.data.loader import prefetch_to_device
+
+    def failing():
+        raise ValueError("boom")
+        yield  # pragma: no cover — makes this a generator
+
+    with pytest.raises(ValueError, match="boom"):
+        list(prefetch_to_device(failing()))
+
+
 def test_indivisible_batch_rejected(data_dir):
     mesh = make_mesh(8)
     ds = CaptionDataset(data_dir, BASE, "TRAIN")

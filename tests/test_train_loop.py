@@ -203,6 +203,58 @@ def test_trainer_full_run_and_resume(dataset_dir, tmp_path):
     assert len(results2) == 2
 
 
+@pytest.mark.slow
+def test_trainer_resume_mid_finetune(dataset_dir, tmp_path):
+    """Resume from a checkpoint saved AFTER the fine-tune unlock: the restored
+    run must (a) re-derive fine_tune_encoder=True (reference train.py:128-134),
+    (b) restore the encoder optimizer state across the unlock boundary without
+    pytree-shape mismatch, and (c) keep updating encoder params."""
+    common = dict(
+        data=DataConfig(batch_size=8, image_size=32),
+        model=tiny_model_cfg(0),
+    )
+    tr = dict(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        results_dir=str(tmp_path / "results"),
+        fine_tune_epoch=1,  # unlock happens at epoch 1
+        starting_layer=5,
+    )
+    exp = ExperimentConfig(
+        train=tiny_train_cfg(epochs=2, **tr), **common
+    )
+    trainer = Trainer(exp, dataset_dir, BASE, verbose=False)
+    assert not trainer.fine_tune_encoder
+    trainer.run()  # epochs 0 (frozen) and 1 (fine-tuning)
+    assert trainer.fine_tune_encoder
+
+    from tpu_captioner.train.checkpoint import checkpoint_name
+
+    name = checkpoint_name(
+        BASE, False, exp.train.starting_layer, exp.train.encoder_lr, None
+    )
+    exp2 = ExperimentConfig(
+        train=tiny_train_cfg(
+            epochs=3, checkpoint=str(tmp_path / "ckpt" / name), **tr
+        ),
+        **common,
+    )
+    trainer2 = Trainer(exp2, dataset_dir, BASE, verbose=False)
+    assert trainer2.start_epoch == 2
+    assert trainer2.fine_tune_encoder  # re-derived from start_epoch > 1
+    enc_before = jax.device_get(trainer2.state.params["encoder"])
+    results = trainer2.run()  # one more epoch, fine-tuning from step 0
+    assert len(results) == 3
+    enc_after = jax.device_get(trainer2.state.params["encoder"])
+    changed = any(
+        not np.array_equal(a, b)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(enc_before),
+            jax.tree_util.tree_leaves(enc_after),
+        )
+    )
+    assert changed, "encoder params did not update after mid-fine-tune resume"
+
+
 def test_data_parallel_matches_single_device(dataset_dir):
     batch_host, _ = first_batch(dataset_dir)
     model, state, dec_opt, enc_opt, tc, wid = make_model_and_state(dataset_dir)

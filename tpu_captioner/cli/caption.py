@@ -112,7 +112,7 @@ def main():
     for s in range(0, len(paths), group):
         chunk = paths[s : s + group]
         images = np.stack([load_image(p) for p in chunk])
-        if len(chunk) == 1:
+        if len(paths) == 1:
             res = beam_search(
                 model, params, jnp.asarray(images[0]),
                 beam_size=args.beamSize, max_steps=max_steps,
@@ -120,8 +120,17 @@ def main():
             )
             results = [(res.sequence, res.length, res.alphas, res.score)]
         else:
+            # Pad partial chunks to the fixed group size: every group then
+            # hits the same compiled beam_search_batch program (a distinct
+            # remainder shape would trigger a fresh multi-minute remote
+            # compile on relay-attached chips).
+            if len(chunk) < group:
+                pad = np.repeat(images[-1:], group - len(chunk), axis=0)
+                images_in = np.concatenate([images, pad], axis=0)
+            else:
+                images_in = images
             res = beam_search_batch(
-                model, params, jnp.asarray(images),
+                model, params, jnp.asarray(images_in),
                 beam_size=args.beamSize, max_steps=max_steps,
                 start_id=word_map["<start>"], end_id=word_map["<end>"],
             )

@@ -43,29 +43,60 @@ def prefetch_to_device(
     depth: int = 2,
 ):
     """Wrap a host batch iterator with a background producer thread that keeps
-    ``depth`` batches resident on device."""
+    ``depth`` batches resident on device.
+
+    If the consumer abandons the iterator early (exception mid-epoch,
+    generator close), the producer is signalled to stop and joined — it does
+    not linger holding device buffers on the bounded queue."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
     err: list = []
 
     def producer():
         try:
             for b in host_iter:
-                q.put(device_put_batch(b, mesh))
+                item = device_put_batch(b, mesh)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except Exception as e:  # surface loader errors to the consumer
             err.append(e)
         finally:
-            q.put(_END)
+            # The sentinel must not be dropped when the queue is full (the
+            # consumer would drain the items then wait forever); block until
+            # there is room, bailing out only if the consumer signalled stop.
+            while not stop.is_set():
+                try:
+                    q.put(_END, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        # Drain so a blocked producer can observe `stop` and exit promptly.
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=5.0)
 
 
 class ShardedLoader:
