@@ -35,6 +35,13 @@ def main():
     p.add_argument("--dataDir", default="/tmp/bleu_demo_ds")
     p.add_argument("--imageSize", type=int, default=256)
     p.add_argument("--stopAtBleu4", type=float, default=0.99)
+    p.add_argument(
+        "--fineTuneEpoch", type=int, default=10_000,
+        help="epoch at which the encoder unlocks (reference default 20); "
+        "small values exercise the fine-tune train step (per-stage Pallas "
+        "kernels + pruned backward) through the real Trainer on the chip",
+    )
+    p.add_argument("--startingLayer", type=int, default=5)
     args = p.parse_args()
 
     from tpu_captioner.core.config import (
@@ -55,7 +62,9 @@ def main():
         model=ModelConfig(decoder="transformer", dropout=0.0),
         train=TrainConfig(
             epochs=args.epochs, batch_size=32, decoder_lr=args.decoderLr,
-            fine_tune_epoch=10_000, early_stop_patience=10_000,
+            fine_tune_epoch=args.fineTuneEpoch,
+            starting_layer=args.startingLayer,
+            early_stop_patience=10_000,
             print_freq=10_000,
             checkpoint_dir=os.path.join(args.out, "ckpt"),
             results_dir=args.out,
@@ -66,6 +75,11 @@ def main():
     trainer = Trainer(exp, args.dataDir, base, verbose=False)
     t0 = time.time()
     for epoch in range(args.epochs):
+        # Mirror Trainer.run()'s fine-tune unlock (reference train.py:161-165).
+        if epoch == exp.train.fine_tune_epoch and not trainer.fine_tune_encoder:
+            trainer.fine_tune_encoder = True
+            trainer.state = trainer.state.reinit_encoder_optimizer(trainer.enc_opt)
+            print(f"epoch {epoch}: encoder fine-tuning unlocked", flush=True)
         tr = trainer.train_epoch(epoch)
         val = trainer.evaluate(trainer.val_loader, epoch)
         trainer.results.append({
