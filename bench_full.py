@@ -193,7 +193,14 @@ def main():
          flops=train_step_flops(B, V, decoder="lstm"))
 
     results.append(row)
-    with open("BENCH_FULL.json", "w") as f:
+    # Non-default dtypes write a suffixed artifact so the committed f32
+    # table isn't clobbered by a bf16 sweep.
+    out = (
+        "BENCH_FULL.json"
+        if dtype == "float32"
+        else f"BENCH_FULL_{dtype}.json"
+    )
+    with open(out, "w") as f:
         json.dump(results, f, indent=2)
 
 
