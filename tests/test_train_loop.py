@@ -255,6 +255,41 @@ def test_trainer_resume_mid_finetune(dataset_dir, tmp_path):
     assert changed, "encoder params did not update after mid-fine-tune resume"
 
 
+def test_trainer_finetune_model_runs_stage4_on_xla(dataset_dir, tmp_path):
+    """Fine-tune steps use per-stage kernel selection (stage 4 on XLA — its
+    weight-grad stack OOMs scoped VMEM in the backward scan); explicit
+    per-stage configs are respected as given."""
+    import dataclasses as _dc
+
+    # Mode resolution (construction only — no forward, so 'on' is safe on
+    # the CPU backend here).
+    m = CaptionModel(_dc.replace(tiny_model_cfg(40), use_pallas="on"))
+    assert m.encoder.pallas_mode == "mlp"
+    m_ft = CaptionModel(
+        _dc.replace(tiny_model_cfg(40), use_pallas=("on", "on", "on", "off"))
+    )
+    assert m_ft.encoder.pallas_mode == ("mlp", "mlp", "mlp", "off")
+
+    # Trainer wiring ('auto' resolves to 'off' on CPU; what matters is that
+    # the fine-tune model is the per-stage variant and eval stays XLA).
+    exp = ExperimentConfig(
+        data=DataConfig(batch_size=8, image_size=32),
+        model=tiny_model_cfg(0),
+        train=tiny_train_cfg(
+            epochs=1,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            results_dir=str(tmp_path / "results"),
+        ),
+    )
+    tr = Trainer(exp, dataset_dir, BASE, verbose=False)
+    assert tr.ft_model.encoder.pallas_mode == ("off", "off", "off", "off")
+    assert tr.eval_model.encoder.pallas_mode == "off"
+
+    explicit = _dc.replace(tiny_model_cfg(0), use_pallas=("off", "off", "off", "off"))
+    tr2 = Trainer(_dc.replace(exp, model=explicit), dataset_dir, BASE, verbose=False)
+    assert tr2.ft_model is tr2.model  # user's per-stage choice wins
+
+
 def test_data_parallel_matches_single_device(dataset_dir):
     batch_host, _ = first_batch(dataset_dir)
     model, state, dec_opt, enc_opt, tc, wid = make_model_and_state(dataset_dir)
