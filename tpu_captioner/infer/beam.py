@@ -211,8 +211,12 @@ def _transformer_beam(model, params, enc_out_1, beam_size, max_steps, start_id, 
     cache0 = dec.init_cache(beam_size, max_steps + 2, dtype=memory_1.mem.dtype)
 
     def step_fn(cache, prev_words, pos):
+        # Stacked-cache form: the beam reshuffle below copies the cache
+        # every step anyway, so the in-place carry variant only adds
+        # slicing cost here (see TransformerDecoder.decode_step).
         logits, new_cache, alpha = dec.decode_step(
-            p, prev_words, pos, cache, memory, deterministic=True
+            p, prev_words, pos, cache, memory, deterministic=True,
+            inplace_cache=False,
         )
         return new_cache, logits, alpha
 

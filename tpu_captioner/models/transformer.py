@@ -249,22 +249,49 @@ class TransformerDecoder:
         *,
         rng: Optional[jax.Array] = None,
         deterministic: bool = True,
+        inplace_cache: bool = True,
     ) -> Tuple[jnp.ndarray, Cache, jnp.ndarray]:
         """One KV-cached decode step.  Returns (logits (B, V), cache,
         cross-attn alpha (B, P) averaged over layers+heads
-        (transformerDecoderAttVis.py:223-226))."""
+        (transformerDecoderAttVis.py:223-226)).
+
+        ``inplace_cache=True`` (rollout/eval): the FULL (L, B, H, T, dh)
+        cache rides in the layer scan's carry and is updated with
+        dynamic_update_slice — XLA aliases the buffer across layers AND
+        outer decode steps, avoiding a fresh full-cache allocation + copy
+        per step (measured: greedy eval 64 -> 49 ms/batch-of-32 on v5e).
+        ``False`` (beam search): per-layer slices ride as scan xs and new
+        ones are stacked — the beam reshuffle copies the cache every step
+        anyway, so aliasing never materializes and the stacked form's
+        cheaper slicing wins there (measured: 461 vs 523 ms/batch).
+        Identical math either way."""
         c = self.cfg
         e = c.embed_dim
         x = self._embed(p, tokens[:, None], pos[None], _rng_at(rng, 100), deterministic)
         t_max = cache.k.shape[3]
         keep = (jnp.arange(t_max) <= pos)[None, None, None, :]  # causal over cache
 
-        def body(x, xs):
-            pl, ck, cv, mk, mv, i = xs
+        def body(carry, xs):
+            if inplace_cache:
+                x, ck_all, cv_all = carry
+                pl, mk, mv, i = xs
+            else:
+                x = carry
+                pl, ck, cv, mk, mv, i = xs
             # Self-attention against the cache (current token written first).
             q, k_new, v_new = mha_project_qkv(pl["self_attn"], x, x, x, c.num_heads)
-            ck = jax.lax.dynamic_update_slice(ck, k_new, (0, 0, pos, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v_new, (0, 0, pos, 0))
+            if inplace_cache:
+                ck_all = jax.lax.dynamic_update_slice(
+                    ck_all, k_new[None], (i, 0, 0, pos, 0)
+                )
+                cv_all = jax.lax.dynamic_update_slice(
+                    cv_all, v_new[None], (i, 0, 0, pos, 0)
+                )
+                ck = jax.lax.dynamic_index_in_dim(ck_all, i, 0, keepdims=False)
+                cv = jax.lax.dynamic_index_in_dim(cv_all, i, 0, keepdims=False)
+            else:
+                ck = jax.lax.dynamic_update_slice(ck, k_new, (0, 0, pos, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v_new, (0, 0, pos, 0))
             lrng = _rng_at(rng, 200, i)
             ctx, _ = attention_core(
                 q, ck, cv, keep, c.dropout, _rng_at(lrng, 1), deterministic
@@ -288,17 +315,27 @@ class TransformerDecoder:
             x = layer_norm(
                 pl["norm3"], x + dropout(ff, c.dropout, _rng_at(lrng, 6), deterministic)
             )
-            return x, (ck, cv, jnp.mean(probs2[:, :, 0, :], axis=1))
+            alpha_l = jnp.mean(probs2[:, :, 0, :], axis=1)
+            if inplace_cache:
+                return (x, ck_all, cv_all), alpha_l
+            return x, (ck, cv, alpha_l)
 
         # Rolled layer loop here: unrolling measured 15% SLOWER for beam
         # search (bigger body inside the vmapped while_loop); the parallel
         # TF pass keeps unroll=True where it wins.
         n = c.num_layers
-        x, (new_k, new_v, ca_means) = jax.lax.scan(
-            body,
-            x,
-            (p["layers"], cache.k, cache.v, memory.k, memory.v, jnp.arange(n)),
-        )
+        if inplace_cache:
+            (x, new_k, new_v), ca_means = jax.lax.scan(
+                body,
+                (x, cache.k, cache.v),
+                (p["layers"], memory.k, memory.v, jnp.arange(n)),
+            )
+        else:
+            x, (new_k, new_v, ca_means) = jax.lax.scan(
+                body,
+                x,
+                (p["layers"], cache.k, cache.v, memory.k, memory.v, jnp.arange(n)),
+            )
         logits = linear(p["fc_out"], x[:, 0, :])
         alpha = jnp.mean(ca_means, axis=0)  # (B, P)
         return logits, Cache(new_k, new_v), alpha
