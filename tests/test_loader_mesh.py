@@ -55,6 +55,32 @@ def test_sharded_loader_eval_and_determinism(data_dir):
     assert batch["all_captions"].shape == (8, 5, 10)
 
 
+def test_shard_slices_reassemble_global_batches(data_dir):
+    """iterate_batches(shard=(i, n)) on every i must concatenate to exactly
+    the unsharded global batches — same rows, same valid flags (the
+    multi-host DistributedSampler-equivalent split)."""
+    from tpu_captioner.data.dataset import iterate_batches
+
+    ds = CaptionDataset(data_dir, BASE, "TRAIN")  # 40 captions
+    gb = 16  # 40 = 2 full batches + padded final (8 real rows)
+    full = list(iterate_batches(ds, gb, epoch=3, shuffle=True))
+    n = 4
+    sharded = [
+        list(iterate_batches(ds, gb, epoch=3, shuffle=True, shard=(i, n)))
+        for i in range(n)
+    ]
+    for b, want in enumerate(full):
+        got_caps = np.concatenate([sharded[i][b].captions for i in range(n)])
+        got_valid = np.concatenate([sharded[i][b].valid for i in range(n)])
+        got_imgs = np.concatenate([sharded[i][b].images for i in range(n)])
+        np.testing.assert_array_equal(got_caps, want.captions)
+        np.testing.assert_array_equal(got_valid, want.valid)
+        np.testing.assert_array_equal(got_imgs, want.images)
+
+    with pytest.raises(ValueError):
+        next(iterate_batches(ds, 10, shard=(0, 4)))  # 10 % 4 != 0
+
+
 def test_abandoned_epoch_stops_producer(data_dir):
     """Dropping the epoch iterator mid-epoch must terminate the prefetch
     producer thread (it must not linger blocked on the bounded queue)."""

@@ -166,9 +166,20 @@ def iterate_batches(
     seed: int = 42,
     shuffle: bool = True,
     pad_final: bool = True,
+    shard: tuple = (0, 1),
 ) -> Iterator[Batch]:
     """Yield fixed-shape global batches.  The final short batch is padded with
-    wrap-around rows marked invalid (so jitted steps see one static shape)."""
+    wrap-around rows marked invalid (so jitted steps see one static shape).
+
+    ``shard=(index, count)``: gather only this process's contiguous rows of
+    every global batch (multi-host data loading — replaces the reference's
+    DistributedSampler rank split, trainMultiGPU.py:240-245; the epoch index
+    order is identical on every host, so shards are disjoint and complete).
+    """
+    sh_i, sh_n = shard
+    if global_batch % sh_n != 0:
+        raise ValueError(f"global_batch {global_batch} not divisible by {sh_n}")
+    per = global_batch // sh_n
     idx = epoch_indices(len(dataset), epoch, seed, shuffle)
     n = len(idx)
     for s in range(0, n, global_batch):
@@ -178,9 +189,14 @@ def iterate_batches(
             if not pad_final:
                 break
             chunk = np.concatenate([chunk, idx[:pad]])
-        batch = dataset.gather(chunk)
+        local = chunk[sh_i * per : (sh_i + 1) * per]
+        batch = dataset.gather(local)
         if pad > 0:
-            batch.valid[-pad:] = False
+            # Wrap-around padding occupies the global tail; flag the rows of
+            # THIS shard that fall inside it.
+            start = sh_i * per
+            local_pad_from = max(0, (global_batch - pad) - start)
+            batch.valid[local_pad_from:] = False
         yield batch
 
 

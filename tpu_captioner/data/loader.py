@@ -29,12 +29,21 @@ def batch_sharding(mesh: Optional[Mesh]):
 
 def device_put_batch(batch: Batch, mesh: Optional[Mesh]):
     """Transfer a host batch to device(s), sharding the leading axis over the
-    'data' mesh axis.  Images stay uint8 until the jitted step normalizes."""
+    'data' mesh axis.  Images stay uint8 until the jitted step normalizes.
+
+    On the mesh path the host data is treated as this PROCESS's rows of the
+    global batch (`jax.make_array_from_process_local_data`): single-process
+    that is the whole batch; on a multi-host pod each process contributes
+    its contiguous shard (see ``iterate_batches(shard=...)``) and the
+    assembled array is globally sharded without any host gathering."""
     sharding = batch_sharding(mesh)
     d = batch.as_dict()
     if sharding is None:
         return {k: jax.device_put(v) for k, v in d.items()}
-    return {k: jax.device_put(v, sharding) for k, v in d.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sharding, v)
+        for k, v in d.items()
+    }
 
 
 def prefetch_to_device(
@@ -136,5 +145,8 @@ class ShardedLoader:
             epoch=epoch,
             seed=self.seed,
             shuffle=self.shuffle,
+            # Multi-host: every process reads only its contiguous slice of
+            # each global batch (single-process: the whole batch).
+            shard=(jax.process_index(), jax.process_count()),
         )
         return prefetch_to_device(host, self.mesh, self.prefetch_depth)

@@ -29,6 +29,19 @@ def is_coordinator() -> bool:
     return jax.process_index() == 0
 
 
+def host_local_rows(arr) -> np.ndarray:
+    """This process's rows of a 'data'-sharded (or single-device) array.
+
+    Concatenates the addressable shards in global row order — the full array
+    single-process; each host's contiguous slice on a pod (device_get of a
+    non-replicated global array is not possible there).  Do NOT use on
+    replicated arrays (every shard holds the full value)."""
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def gather_eval_outputs(
     sequences: np.ndarray, lengths: np.ndarray, all_captions: np.ndarray,
     valid: np.ndarray,

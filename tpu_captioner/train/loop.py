@@ -280,12 +280,21 @@ class Trainer:
         from tpu_captioner.parallel.collectives import (
             broadcast_scalar,
             gather_eval_outputs,
+            host_local_rows,
             is_coordinator,
         )
 
         def consume(aux, batch):
+            # Replicated outputs: fetch global, then keep this host's rows so
+            # the cross-host allgather below reassembles each row once.
             seqs, lengths = jax.device_get((aux["sequences"], aux["lengths"]))
-            all_caps, valid = jax.device_get((batch["all_captions"], batch["valid"]))
+            n_proc, pidx = jax.process_count(), jax.process_index()
+            per = seqs.shape[0] // n_proc
+            sl = slice(pidx * per, (pidx + 1) * per)
+            seqs, lengths = seqs[sl], lengths[sl]
+            # 'data'-sharded inputs: only this host's shards are addressable.
+            all_caps = host_local_rows(batch["all_captions"])
+            valid = host_local_rows(batch["valid"])
             # Multi-host: all-gather the fixed-shape outputs (replaces the
             # reference's pickle-based gather_all_data, trainMultiGPU.py:110).
             seqs, lengths, all_caps, valid = gather_eval_outputs(
