@@ -82,11 +82,12 @@ def main():
         results.append(row)
         print(json.dumps(row), flush=True)
 
-    # Fine-tune steps run stage 4 on XLA like the Trainer does (its weight-
-    # grad stack OOMs scoped VMEM in the backward scan; BENCHMARKING.md).
+    # Fine-tune steps use the Trainer's per-stage kernel policy.
+    from tpu_captioner.train.model import finetune_use_pallas
+
     ft_model = CaptionModel(
         ModelConfig(decoder="transformer", vocab_size=V, compute_dtype=dtype,
-                    use_pallas=("auto", "auto", "auto", "off"))
+                    use_pallas=finetune_use_pallas("auto"))
     )
 
     # 1) TF train, frozen encoder.

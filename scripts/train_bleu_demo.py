@@ -89,7 +89,29 @@ def main():
             "bleu1": val["bleu1"], "bleu2": val["bleu2"],
             "bleu3": val["bleu3"], "bleu4": val["bleu4"],
         })
+        is_best = val["bleu4"] > trainer.best_bleu4
         trainer.best_bleu4 = max(trainer.best_bleu4, val["bleu4"])
+        # Keep the checkpoint path exercised end to end (Trainer.run's
+        # save, including the BEST_ copy on improvement).
+        import dataclasses as _dc
+
+        from tpu_captioner.train.checkpoint import checkpoint_name, save_checkpoint
+
+        save_checkpoint(
+            exp.train.checkpoint_dir,
+            checkpoint_name(base, trainer.model.is_lstm,
+                            exp.train.starting_layer, exp.train.encoder_lr,
+                            exp.model.embedding_name),
+            trainer.state,
+            {
+                "epoch": epoch,
+                "epochs_since_improvement": 0,
+                "bleu4": val["bleu4"],
+                "results": trainer.results,
+                "config": _dc.asdict(exp),
+            },
+            is_best=is_best,
+        )
         print(
             f"epoch {epoch:3d}  trainLoss={tr['loss']:.4f}  "
             f"valLoss={val['loss']:.4f}  bleu4={val['bleu4']:.4f}  "

@@ -99,13 +99,26 @@ def prefetch_to_device(
             yield item
     finally:
         stop.set()
-        # Drain so a blocked producer can observe `stop` and exit promptly.
+        # Drain so a blocked producer can observe `stop` and exit promptly;
+        # its in-flight put may land in a slot the drain just freed, so keep
+        # draining until the thread is gone, then sweep once more so no
+        # device-resident batch stays referenced by the queue.
+        deadline = 50  # x 0.1s join timeout = 5s total
+        while True:
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=0.1)
+            deadline -= 1
+            if not t.is_alive() or deadline <= 0:
+                break
         try:
             while True:
                 q.get_nowait()
         except queue.Empty:
             pass
-        t.join(timeout=5.0)
 
 
 class ShardedLoader:

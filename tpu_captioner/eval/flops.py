@@ -116,20 +116,23 @@ def transformer_forward_flops(d: DecoderDims) -> int:
 def lstm_forward_flops(d: DecoderDims, attention: bool = True) -> int:
     """Per-sequence forward FLOPs of the LSTM decoders (models/decoder.py /
     lstmNoAttention.py): per step, LSTMCell (4 gates), additive attention
-    over M pixels, f_beta gate, vocab head."""
+    over M pixels, f_beta gate, vocab head.  The attention's encoder-side
+    projection is counted ONCE per sequence — the implementation hoists it
+    out of the time loop (models/lstm.py), so the executed program does not
+    repeat it per step."""
     L, M, e, hdim, V = d.seq_len, d.mem_len, d.embed_dim, d.decoder_dim, d.vocab_size
     enc = d.encoder_dim
     in_dim = e + (enc if attention else 0)
     per_step = 2 * 4 * hdim * (in_dim + hdim)  # LSTMCell
     if attention:
         att = d.attention_dim
-        per_step += 2 * M * enc * att  # encoder projection (per step)
         per_step += 2 * hdim * att  # decoder projection
         per_step += 2 * M * att  # scores
         per_step += 2 * hdim * enc  # f_beta gate
     per_step += 2 * hdim * V  # vocab head
     total = L * per_step
     if attention:
+        total += 2 * M * enc * d.attention_dim  # hoisted encoder projection
         total += 2 * 2 * enc * hdim  # init_h / init_c from mean encoder out
     return total
 

@@ -152,15 +152,7 @@ def load_pretrained_backbone(path: str, depths=(3, 3, 27, 3)) -> Dict:
     if path.endswith(".npz"):
         sd: Dict[str, Any] = dict(np.load(path))
     else:
-        import torch
-
-        obj = torch.load(path, map_location="cpu", weights_only=False)
-        if hasattr(obj, "state_dict"):  # a full nn.Module was pickled
-            obj = obj.state_dict()
-        for wrapper in ("state_dict", "model"):
-            if isinstance(obj, dict) and isinstance(obj.get(wrapper), dict):
-                obj = obj[wrapper]
-        sd = dict(obj)
+        sd = _load_torch_state_dict(path)
     if any(k.startswith("features.") for k in sd):
         sd = {
             k[len("features."):]: v
@@ -170,17 +162,25 @@ def load_pretrained_backbone(path: str, depths=(3, 3, 27, 3)) -> Dict:
     return port_convnext_features(sd, depths=depths)
 
 
-def convert_backbone_to_npz(src: str, out: str) -> None:
-    """Torch ``convnext_base`` checkpoint -> ``.npz`` of numpy arrays so
-    training hosts never need torch (``build_data port-backbone``)."""
+def _load_torch_state_dict(path: str) -> Dict[str, Any]:
+    """torch.load + unwrap: pickled nn.Module -> state_dict; wrapper dicts
+    keyed ``state_dict``/``model`` -> inner dict.  The single place this
+    policy lives (load_pretrained_backbone and convert_backbone_to_npz)."""
     import torch
 
-    obj = torch.load(src, map_location="cpu", weights_only=False)
-    if hasattr(obj, "state_dict"):
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):  # a full nn.Module was pickled
         obj = obj.state_dict()
     for wrapper in ("state_dict", "model"):
         if isinstance(obj, dict) and isinstance(obj.get(wrapper), dict):
             obj = obj[wrapper]
+    return dict(obj)
+
+
+def convert_backbone_to_npz(src: str, out: str) -> None:
+    """Torch ``convnext_base`` checkpoint -> ``.npz`` of numpy arrays so
+    training hosts never need torch (``build_data port-backbone``)."""
+    obj = _load_torch_state_dict(src)
     np.savez(out, **{k: _np(v) for k, v in obj.items()})
 
 

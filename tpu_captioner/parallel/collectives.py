@@ -29,17 +29,33 @@ def is_coordinator() -> bool:
     return jax.process_index() == 0
 
 
+def _sorted_addressable_shards(arr):
+    return sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
+
+
 def host_local_rows(arr) -> np.ndarray:
     """This process's rows of a 'data'-sharded (or single-device) array.
 
     Concatenates the addressable shards in global row order — the full array
-    single-process; each host's contiguous slice on a pod (device_get of a
+    single-process; each host's rows on a pod (device_get of a
     non-replicated global array is not possible there).  Do NOT use on
     replicated arrays (every shard holds the full value)."""
-    shards = sorted(
-        arr.addressable_shards, key=lambda s: s.index[0].start or 0
-    )
+    shards = _sorted_addressable_shards(arr)
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def host_local_row_indices(arr) -> np.ndarray:
+    """Global row indices corresponding to ``host_local_rows(arr)``, in the
+    same order.  Use to slice a REPLICATED array consistently with a sharded
+    one — the device order along the mesh axis decides which global rows a
+    process owns, and it need not be one contiguous block."""
+    n = arr.shape[0]
+    return np.concatenate(
+        [
+            np.arange(*s.index[0].indices(n))
+            for s in _sorted_addressable_shards(arr)
+        ]
+    )
 
 
 def gather_eval_outputs(

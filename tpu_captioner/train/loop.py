@@ -104,16 +104,13 @@ class Trainer:
         import dataclasses as _dc
 
         self.eval_model = CaptionModel(_dc.replace(exp.model, use_pallas="off"))
-        # Fine-tune steps keep the fused kernels on stages 1-3 but run stage 4
-        # on XLA: its 3-block weight-grad stack (48 MB) is what XLA insists on
-        # staging in scoped VMEM in the backward scan (measured 71.9 vs OOM /
-        # 183.8 ms/step on v5e — BENCHMARKING.md round 2).  Params are shared;
-        # explicit per-stage configs are respected as given.
-        up = exp.model.use_pallas
-        if isinstance(up, str):
-            self.ft_model = CaptionModel(
-                _dc.replace(exp.model, use_pallas=(up, up, up, "off"))
-            )
+        # Fine-tune steps use the per-stage kernel policy (stage 4 on XLA);
+        # params are shared, explicit per-stage configs pass through.
+        from tpu_captioner.train.model import finetune_use_pallas
+
+        ft_up = finetune_use_pallas(exp.model.use_pallas)
+        if ft_up != exp.model.use_pallas:
+            self.ft_model = CaptionModel(_dc.replace(exp.model, use_pallas=ft_up))
         else:
             self.ft_model = self.model
 
@@ -280,18 +277,19 @@ class Trainer:
         from tpu_captioner.parallel.collectives import (
             broadcast_scalar,
             gather_eval_outputs,
+            host_local_row_indices,
             host_local_rows,
             is_coordinator,
         )
 
         def consume(aux, batch):
-            # Replicated outputs: fetch global, then keep this host's rows so
-            # the cross-host allgather below reassembles each row once.
+            # Replicated outputs: fetch global, then keep THIS host's rows —
+            # selected by the same shard indices the sharded inputs use, so
+            # hypotheses stay paired with their references even if the mesh's
+            # device order gives this process non-contiguous global rows.
             seqs, lengths = jax.device_get((aux["sequences"], aux["lengths"]))
-            n_proc, pidx = jax.process_count(), jax.process_index()
-            per = seqs.shape[0] // n_proc
-            sl = slice(pidx * per, (pidx + 1) * per)
-            seqs, lengths = seqs[sl], lengths[sl]
+            rows = host_local_row_indices(batch["valid"])
+            seqs, lengths = seqs[rows], lengths[rows]
             # 'data'-sharded inputs: only this host's shards are addressable.
             all_caps = host_local_rows(batch["all_captions"])
             valid = host_local_rows(batch["valid"])

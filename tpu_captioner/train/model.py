@@ -27,6 +27,18 @@ from tpu_captioner.models.transformer import TransformerDecoder
 Params = Dict[str, Any]
 
 
+def finetune_use_pallas(use_pallas):
+    """Kernel selection for train_encoder=True steps (THE one home of this
+    policy — Trainer and benches share it): fused kernels stay on stages
+    1-3, stage 4 runs on XLA.  Stage 4's 3-block weight-grad stack (48 MB)
+    is what XLA insists on staging in scoped VMEM in the backward scan —
+    measured 71.9 ms/step vs OOM on v5e (BENCHMARKING.md round 2).
+    Explicit per-stage configs are returned unchanged."""
+    if isinstance(use_pallas, str):
+        return (use_pallas, use_pallas, use_pallas, "off")
+    return use_pallas
+
+
 @dataclass(eq=False)
 class CaptionModel:
     cfg: ModelConfig
@@ -46,9 +58,10 @@ class CaptionModel:
         # 'block' -> fully-fused block kernel; 'on' == 'mlp'; 'off' -> XLA.
         def resolve(mode):
             if mode == "auto":
-                on_tpu = jax.default_backend() not in ("cpu",)
+                from tpu_captioner.core.backend import on_tpu
+
                 transformer = c.decoder in ("transformer", "transformer_attvis")
-                return "mlp" if (on_tpu and transformer) else "off"
+                return "mlp" if (on_tpu() and transformer) else "off"
             if mode in ("on", True):
                 return "mlp"
             if mode in (False, "off"):

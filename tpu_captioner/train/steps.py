@@ -246,8 +246,10 @@ def make_train_step(
     # in scoped VMEM inside the scan-body fusion, which blows the default
     # 16 MB scoped budget ("Ran out of memory in memory space vmem ...
     # scoped allocation").  Raise the budget for this program only.
+    from tpu_captioner.core.backend import on_tpu
+
     compiler_options = None
-    if train_encoder and jax.default_backend() == "tpu":
+    if train_encoder and on_tpu():
         pm = getattr(model.encoder, "pallas_mode", "off")
         uses_pallas = any(m != "off" for m in pm) if isinstance(
             pm, (tuple, list)
