@@ -69,6 +69,33 @@ def test_gather_eval_outputs_single_process_noop():
         assert got is want  # no copies on the single-host fast path
 
 
+def test_host_local_rows_and_indices_agree():
+    """host_local_rows(arr)[j] must equal arr[host_local_row_indices(arr)[j]]
+    on a real sharded array — the invariant the eval loop relies on to pair
+    replicated outputs with sharded inputs."""
+    import jax.numpy as jnp
+
+    from tpu_captioner.data.loader import batch_sharding
+    from tpu_captioner.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    sharding = batch_sharding(mesh)
+    host = np.arange(16 * 3, dtype=np.int32).reshape(16, 3)
+    arr = jax.make_array_from_process_local_data(sharding, host)
+    rows = collectives.host_local_rows(arr)
+    idx = collectives.host_local_row_indices(arr)
+    np.testing.assert_array_equal(rows, host[idx])
+    # Single-process: every global row appears exactly once.
+    np.testing.assert_array_equal(np.sort(idx), np.arange(16))
+
+    # Unsharded single-device arrays degrade to the identity.
+    plain = jax.device_put(jnp.asarray(host))
+    np.testing.assert_array_equal(collectives.host_local_rows(plain), host)
+    np.testing.assert_array_equal(
+        collectives.host_local_row_indices(plain), np.arange(16)
+    )
+
+
 def test_broadcast_scalar_takes_process_zero_value(monkeypatch):
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     from jax.experimental import multihost_utils as mh
