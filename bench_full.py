@@ -158,14 +158,25 @@ def main():
     # scripts/bench_reference_beam.py (one image per call, full-prefix
     # re-decode, no KV cache — caption.py:160-255), same random-weight
     # 50-step worst case as this measurement.  The reference pins inference
-    # to CPU by design (caption.py:21).
-    ref_caps_per_sec = 0.069
+    # to CPU by design (caption.py:21).  Prefer the committed artifact from
+    # an actual run of that script; fall back to the 2026-08-16 value
+    # measured on this host if the artifact is absent.
+    ref_artifact = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "artifacts", "reference_beam.json",
+    )
+    baseline_source = "scripts/bench_reference_beam.py (torch CPU, this host)"
+    ref_caps_per_sec = 0.069  # measured 2026-08-16 on this host
+    if os.path.exists(ref_artifact):
+        with open(ref_artifact) as f:
+            ref_caps_per_sec = float(json.load(f)["value"])
+        baseline_source = "artifacts/reference_beam.json"
     row = {
         "metric": "beam5_captions_per_sec",
         "value": round(B / dt, 2),
         "unit": "captions/sec",
         "vs_baseline": round(B / dt / ref_caps_per_sec, 1),
-        "baseline_source": "scripts/bench_reference_beam.py (torch CPU, this host)",
+        "baseline_source": baseline_source,
     }
     print(json.dumps(row), flush=True)
 

@@ -19,6 +19,7 @@ of the beam vs_baseline denominator in bench_full.py.
 
 import json
 import math
+import os
 import sys
 import time
 
@@ -160,6 +161,15 @@ def main():
         "n_samples": n,
     }
     print(json.dumps(row))
+    # Persist for bench_full.py's beam vs_baseline denominator, so the ratio
+    # tracks this host instead of a hardcoded constant.
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "reference_beam.json",
+    )
+    os.makedirs(os.path.dirname(art), exist_ok=True)
+    with open(art, "w") as f:
+        json.dump(row, f)
 
 
 if __name__ == "__main__":

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import warnings
 from typing import Iterator, Optional
 
 import jax
@@ -112,7 +113,18 @@ def prefetch_to_device(
                 pass
             t.join(timeout=0.1)
             deadline -= 1
-            if not t.is_alive() or deadline <= 0:
+            if not t.is_alive():
+                break
+            if deadline <= 0:
+                # A producer wedged inside device_put (e.g. a hung transfer)
+                # survives as a daemon thread holding device buffers; say so
+                # instead of leaking it silently.
+                warnings.warn(
+                    "prefetch producer thread still alive after 5s shutdown "
+                    "deadline; abandoning it (device buffers may stay "
+                    "referenced until process exit)",
+                    RuntimeWarning,
+                )
                 break
         try:
             while True:

@@ -128,7 +128,10 @@ def lstm_forward_flops(d: DecoderDims, attention: bool = True) -> int:
         att = d.attention_dim
         per_step += 2 * hdim * att  # decoder projection
         per_step += 2 * M * att  # scores
-        per_step += 2 * hdim * enc  # f_beta gate
+        per_step += 2 * M * enc  # attention-weighted context sum
+        per_step += 2 * hdim * enc  # f_beta gate projection
+        # (the elementwise sigmoid-gate multiply on the context is excluded,
+        # matching the transformer path's matmul-only convention)
     per_step += 2 * hdim * V  # vocab head
     total = L * per_step
     if attention:

@@ -224,7 +224,27 @@ class Trainer:
         tc = self.exp.train
         step_fn = self._train_step()
         batch_time, data_time = AverageMeter(), AverageMeter()
-        device_metrics = []  # fetched lazily at epoch end (no per-step sync)
+        # Per-step metric scalars stay on-device (no per-step sync), but are
+        # folded to host sums every `fold_every` batches so a COCO-scale epoch
+        # (~17.7k batches x 3 scalars) never holds tens of thousands of live
+        # device buffers at once.  Token weighting stays exact: we fold to
+        # (sum loss*tokens, sum top5, sum tokens).
+        device_metrics = []
+        fold_every = 1024
+        sums = {"loss_tokens": 0.0, "top5": 0.0, "tokens": 0.0}
+
+        def _fold():
+            if not device_metrics:
+                return
+            fetched = jax.device_get(device_metrics)
+            device_metrics.clear()
+            tokens = np.array([m["tokens"] for m in fetched])
+            sums["loss_tokens"] += float(
+                (np.array([m["loss"] for m in fetched]) * tokens).sum()
+            )
+            sums["top5"] += float(np.array([m["top5_correct"] for m in fetched]).sum())
+            sums["tokens"] += float(tokens.sum())
+
         start = time.time()
         n_batches = len(self.train_loader)
         profiling = self.profile_dir is not None and epoch == self.start_epoch
@@ -239,6 +259,8 @@ class Trainer:
                 jax.profiler.stop_trace()
                 profiling = False
             device_metrics.append(metrics)
+            if len(device_metrics) >= fold_every:
+                _fold()
             batch_time.update(time.time() - start)
             start = time.time()
             if self.verbose and i % tc.print_freq == 0:
@@ -248,14 +270,11 @@ class Trainer:
                     flush=True,
                 )
         # Token-weighted epoch averages (== AverageMeter(loss, n=tokens)).
-        fetched = jax.device_get(device_metrics)
-        tokens = np.array([m["tokens"] for m in fetched])
-        losses = np.array([m["loss"] for m in fetched])
-        top5 = np.array([m["top5_correct"] for m in fetched])
-        total_tokens = max(tokens.sum(), 1.0)
+        _fold()
+        total_tokens = max(sums["tokens"], 1.0)
         out = {
-            "loss": float((losses * tokens).sum() / total_tokens),
-            "top5": float(100.0 * top5.sum() / total_tokens),
+            "loss": sums["loss_tokens"] / total_tokens,
+            "top5": 100.0 * sums["top5"] / total_tokens,
             "batch_time": batch_time.avg,
             "data_time": data_time.avg,
         }
