@@ -1,0 +1,134 @@
+"""Parity tests for the fused Pallas decode-step kernel (ops/decode_step.py).
+
+The kernel (interpret mode on CPU) must reproduce the XLA decode path —
+TransformerDecoder.decode_step / rollout — which is itself torch-oracle
+parity-tested in tests/test_transformer.py.  Covers: single step, multi-step
+cache evolution, full greedy rollout equality (sequences exact, logits and
+attention maps numeric), and the row-padding helper used by the beam path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_captioner.core.config import ModelConfig
+from tpu_captioner.models.layers import linear
+from tpu_captioner.models.transformer import TransformerDecoder
+from tpu_captioner.ops.decode_step import (
+    fused_decode_step,
+    merge_cache_heads,
+    prepare_cross_memory,
+    prepare_decode_weights,
+    split_cache_heads,
+)
+
+
+def small_cfg(**kw):
+    base = dict(
+        decoder="transformer",
+        vocab_size=57,
+        embed_dim=64,
+        decoder_dim=48,
+        encoder_dim=40,
+        num_heads=4,
+        num_layers=3,
+        max_len=16,
+        dropout=0.1,  # inactive in deterministic mode
+        encoded_image_size=2,
+        encoder_depths=(1, 1),
+        encoder_dims=(8, 40),
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = small_cfg()
+    dec = TransformerDecoder(cfg, capture_alphas=True)
+    p = dec.init_params(jax.random.PRNGKey(0))
+    B = 4
+    enc_out = jax.random.normal(
+        jax.random.PRNGKey(1), (B, cfg.encoded_image_size, cfg.encoded_image_size, cfg.encoder_dim)
+    )
+    return cfg, dec, p, enc_out
+
+
+def test_single_and_multi_step_parity(setup):
+    cfg, dec, p, enc_out = setup
+    B = enc_out.shape[0]
+    T = 8
+
+    # XLA path
+    memory = dec.precompute_memory(p, enc_out)
+    cache = dec.init_cache(B, T)
+    # fused path
+    mem = dec._project_memory(p, enc_out)
+    kw = prepare_decode_weights(p["layers"], cfg.embed_dim)
+    mem_k, mem_v = prepare_cross_memory(p["layers"], mem, cfg.embed_dim)
+    ck = jnp.zeros((cfg.num_layers, B, T, cfg.embed_dim))
+    cv = jnp.zeros_like(ck)
+
+    rng = np.random.default_rng(7)
+    for pos in range(3):
+        toks = jnp.asarray(rng.integers(1, cfg.vocab_size, B), jnp.int32)
+        logits_ref, cache, alpha_ref = dec.decode_step(
+            p, toks, jnp.int32(pos), cache, memory, deterministic=True
+        )
+        x = dec._embed(p, toks[:, None], jnp.int32(pos)[None], None, True)[:, 0, :]
+        x_out, alpha, ck, cv = fused_decode_step(
+            kw, x, jnp.int32(pos), ck, cv, mem_k, mem_v, cfg.num_heads,
+            interpret=True,
+        )
+        logits = linear(p["fc_out"], x_out)
+        np.testing.assert_allclose(logits, logits_ref, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(alpha, alpha_ref, rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(
+            ck, merge_cache_heads(cache.k), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            cv, merge_cache_heads(cache.v), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_cache_layout_roundtrip(setup):
+    cfg, dec, p, enc_out = setup
+    x = jax.random.normal(jax.random.PRNGKey(3), (cfg.num_layers, 4, cfg.num_heads, 8, 16))
+    np.testing.assert_array_equal(
+        split_cache_heads(merge_cache_heads(x), cfg.num_heads), x
+    )
+
+
+def test_fused_rollout_equality(setup):
+    cfg, dec, p, enc_out = setup
+    start, end = cfg.vocab_size - 2, cfg.vocab_size - 1
+    L = 10
+    logits_ref, seqs_ref, alphas_ref = dec.rollout(
+        p, enc_out, start, end, L, deterministic=True
+    )
+    logits, seqs, alphas = dec.fused_rollout(
+        p, enc_out, start, end, L, interpret=True
+    )
+    np.testing.assert_array_equal(seqs, seqs_ref)
+    np.testing.assert_allclose(logits, logits_ref, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(alphas, alphas_ref, rtol=2e-5, atol=2e-6)
+
+
+def test_fused_rollout_scheduled_sampling(setup):
+    """Teacher mixing happens outside the kernel and must match exactly."""
+    cfg, dec, p, enc_out = setup
+    B = enc_out.shape[0]
+    start, end = cfg.vocab_size - 2, cfg.vocab_size - 1
+    L = 6
+    teacher = jax.random.randint(jax.random.PRNGKey(9), (B, L), 1, cfg.vocab_size)
+    rng = jax.random.PRNGKey(11)
+    _, seqs_ref, _ = dec.rollout(
+        p, enc_out, start, end, L, deterministic=True,
+        rng=rng, teacher_tokens=teacher, teacher_prob=0.5,
+    )
+    _, seqs, _ = dec.fused_rollout(
+        p, enc_out, start, end, L, interpret=True,
+        rng=rng, teacher_tokens=teacher, teacher_prob=0.5,
+    )
+    np.testing.assert_array_equal(seqs, seqs_ref)

@@ -45,16 +45,52 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="data-parallel shards (0 = all local devices)")
     p.add_argument("--computeDtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    # Reduced-model overrides (default = the reference's ConvNeXt-Base +
+    # 6-layer transformer).  Used by small-scale experiments and the
+    # cross-framework BLEU-parity artifacts (scripts/bleu_parity_torch.py).
+    p.add_argument("--embedDim", type=int, default=None)
+    p.add_argument("--decoderDim", type=int, default=None)
+    p.add_argument("--numLayers", type=int, default=None)
+    p.add_argument("--numHeads", type=int, default=None)
+    p.add_argument("--maxLen", type=int, default=None)
+    p.add_argument("--imageSize", type=int, default=None)
+    p.add_argument("--encoderDepths", type=str, default=None,
+                   help="comma ints, e.g. 1,1,2,1")
+    p.add_argument("--encoderDims", type=str, default=None,
+                   help="comma ints, e.g. 16,24,32,48 (last = encoder_dim)")
 
 
 def config_from_args(args) -> ExperimentConfig:
     decoder = args.decoder or ("lstm" if args.lstmDecoder else "transformer")
+    model_kw = {}
+    for arg, field_ in (
+        ("embedDim", "embed_dim"), ("decoderDim", "decoder_dim"),
+        ("numLayers", "num_layers"), ("numHeads", "num_heads"),
+        ("maxLen", "max_len"),
+    ):
+        v = getattr(args, arg, None)
+        if v is not None:
+            model_kw[field_] = v
+    if getattr(args, "encoderDepths", None):
+        model_kw["encoder_depths"] = tuple(
+            int(x) for x in args.encoderDepths.split(",")
+        )
+    if getattr(args, "encoderDims", None):
+        dims = tuple(int(x) for x in args.encoderDims.split(","))
+        model_kw["encoder_dims"] = dims
+        model_kw["encoder_dim"] = dims[-1]
     model = ModelConfig(
         decoder=decoder,
         embedding_name=args.embeddingName,
         compute_dtype=args.computeDtype,
         pretrained_encoder=getattr(args, "pretrainedEncoder", None),
+        **model_kw,
     )
+    train_kw = {}
+    if getattr(args, "maxLen", None) is not None:
+        # maxDecodeLen tracks the padded caption length (reference: 51 for
+        # encoded length 52, train.py:44 + test.py:171).
+        train_kw["max_decode_len"] = args.maxLen - 1
     train = TrainConfig(
         batch_size=args.batchSize,
         starting_layer=args.startingLayer,
@@ -62,7 +98,11 @@ def config_from_args(args) -> ExperimentConfig:
         checkpoint=args.checkpoint,
         teacher_forcing=getattr(args, "teacherForcing", True),
         epochs=getattr(args, "epochs", 120),
+        **train_kw,
     )
-    data = DataConfig(batch_size=args.batchSize)
+    data_kw = {}
+    if getattr(args, "imageSize", None) is not None:
+        data_kw["image_size"] = args.imageSize
+    data = DataConfig(batch_size=args.batchSize, **data_kw)
     return ExperimentConfig(data=data, model=model, train=train,
                             num_devices=args.numDevices)

@@ -39,7 +39,8 @@ def main():
         from tpu_captioner.models.port_torch import port_reference_checkpoint
 
         enc_p, dec_p, meta = port_reference_checkpoint(
-            ref_ckpt, exp.model.decoder, exp.model.num_layers
+            ref_ckpt, exp.model.decoder, exp.model.num_layers,
+            depths=tuple(exp.model.encoder_depths),
         )
         trainer.state = trainer.state.replace(
             params={"encoder": enc_p, "decoder": dec_p}

@@ -88,6 +88,10 @@ class ModelConfig:
     # Pallas kernels for the hot encoder ops: 'auto' enables them on TPU
     # backends only (CPU tests run the XLA fallbacks).
     use_pallas: str = "auto"  # 'auto' | 'on' | 'off'
+    # Fused Pallas decode-step kernel for deterministic transformer rollout
+    # (ops/decode_step.py): 'auto' -> on TPU only; dropout-active rollouts
+    # always use the XLA path regardless.
+    decode_kernel: str = "auto"  # 'auto' | 'on' | 'off'
     # Rematerialize ConvNeXt blocks in the backward pass ('auto' keeps it on;
     # see models/convnext.py Stage for the measured trade-offs).
     encoder_remat: str = "auto"  # 'auto' | 'on' | 'off'

@@ -130,10 +130,10 @@ def port_convnext_features(
     return out
 
 
-def port_encoder(sd: Mapping[str, Any]) -> Dict:
+def port_encoder(sd: Mapping[str, Any], depths=(3, 3, 27, 3)) -> Dict:
     """Reference Encoder state_dict (keys ``convnext.*``) -> ConvNeXtEncoder
     flax params ({'convnext': ...})."""
-    return {"convnext": port_convnext_features(sd, prefix="convnext.")}
+    return {"convnext": port_convnext_features(sd, prefix="convnext.", depths=depths)}
 
 
 def load_pretrained_backbone(path: str, depths=(3, 3, 27, 3)) -> Dict:
@@ -253,13 +253,17 @@ def port_transformer_decoder(sd: Mapping[str, Any], num_layers: int = 6) -> Dict
     return out
 
 
-def port_reference_checkpoint(path: str, decoder_type: str, num_layers: int = 6):
+def port_reference_checkpoint(
+    path: str, decoder_type: str, num_layers: int = 6, depths=(3, 3, 27, 3)
+):
     """Load a full reference .pth.tar checkpoint (utils/utils.py:195-224
-    payload) and port encoder+decoder.  Requires torch for unpickling."""
+    payload) and port encoder+decoder.  Requires torch for unpickling.
+    ``depths`` must match the checkpoint's backbone (reference: ConvNeXt-Base
+    (3,3,27,3); reduced for the cross-framework parity artifacts)."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    enc_params = port_encoder(ckpt["encoder"])
+    enc_params = port_encoder(ckpt["encoder"], depths=depths)
     dec_sd = ckpt["decoder"]
     # DDP checkpoints may carry a 'module.' prefix (trainMultiGPU.py:319-320
     # strips it at save; be lenient anyway).

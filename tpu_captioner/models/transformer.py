@@ -397,3 +397,75 @@ class TransformerDecoder:
         seqs = jnp.swapaxes(seqs, 0, 1)
         alphas = jnp.swapaxes(alphas, 0, 1) if self.capture_alphas else None
         return logits, seqs, alphas
+
+    # -- fused-kernel rollout ------------------------------------------------
+    def fused_rollout(
+        self,
+        p: Params,
+        encoder_out: jnp.ndarray,
+        start_id: int,
+        end_id: int,
+        max_decode_len: int,
+        *,
+        rng: Optional[jax.Array] = None,
+        teacher_tokens: Optional[jnp.ndarray] = None,
+        teacher_prob: float = 0.0,
+        interpret: bool = False,
+        precise: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+        """``rollout`` with the whole per-token decode body running as ONE
+        Pallas kernel (ops/decode_step.py) instead of ~400 XLA ops — same
+        math, deterministic mode only (eval/test/caption paths; training
+        rollouts with dropout use the XLA path).  Equality with ``rollout``
+        is asserted in tests/test_decode_kernel.py."""
+        from tpu_captioner.ops.decode_step import (
+            fused_decode_step,
+            prepare_cross_memory,
+            prepare_decode_weights,
+        )
+
+        c = self.cfg
+        mem = self._project_memory(p, encoder_out)  # (B, P, E)
+        B, _, E = mem.shape
+        kw = prepare_decode_weights(p["layers"], E)
+        mem_k, mem_v = prepare_cross_memory(p["layers"], mem, E)
+        T = max_decode_len + 1
+        dt = mem.dtype
+        ck0 = jnp.zeros((c.num_layers, B, T, E), dt)
+        cv0 = jnp.zeros_like(ck0)
+        tok0 = jnp.full((B,), start_id, dtype=jnp.int32)
+        fin0 = jnp.zeros((B,), dtype=bool)
+
+        def body(carry, t):
+            tok, finished, ck, cv = carry
+            if teacher_tokens is not None and teacher_prob > 0.0 and rng is not None:
+                use_teacher = jax.random.bernoulli(
+                    jax.random.fold_in(jax.random.fold_in(rng, t), 777),
+                    teacher_prob,
+                    (B,),
+                )
+                tok = jnp.where(use_teacher, teacher_tokens[:, t], tok)
+            x = self._embed(p, tok[:, None], t[None], None, True)[:, 0, :]
+            x_out, alpha, ck, cv = fused_decode_step(
+                kw, x.astype(dt), t, ck, cv, mem_k, mem_v, c.num_heads,
+                interpret=interpret, precise=precise,
+            )
+            logits_t = linear(p["fc_out"], x_out.astype(dt))
+            pred = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+            act = ~finished
+            out = (
+                jnp.where(act[:, None], logits_t, 0.0),
+                jnp.where(act, pred, 0),
+                jnp.where(act[:, None], alpha, 0.0),
+            )
+            tok = jnp.where(act, pred, tok)
+            finished = finished | (act & (pred == end_id))
+            return (tok, finished, ck, cv), out
+
+        _, (logits, seqs, alphas) = jax.lax.scan(
+            body, (tok0, fin0, ck0, cv0), jnp.arange(max_decode_len)
+        )
+        logits = jnp.swapaxes(logits, 0, 1)
+        seqs = jnp.swapaxes(seqs, 0, 1)
+        alphas = jnp.swapaxes(alphas, 0, 1) if self.capture_alphas else None
+        return logits, seqs, alphas

@@ -1,0 +1,308 @@
+"""Pallas TPU kernel: fused KV-cached transformer decode step.
+
+One kernel runs the FULL num_layers-deep decode body for one generated token
+(reference per-step work: models/transformerDecoder.py:110-160 re-runs
+nn.TransformerDecoder on the growing prefix; here the step is the KV-cached
+equivalent): per layer — packed QKV projection, causal self-attention against
+the cache (current token written first), cross-attention against precomputed
+memory K/V, and the ReLU FFN, with all three post-norm LayerNorms.  The
+hidden state ``x`` never leaves VMEM between layers; the grid walks layers
+sequentially and Pallas pipelines each layer's weight fetch behind the
+previous layer's compute.
+
+Why: the XLA decode step is ~400 small HLO ops per step whose cost is linear
+in rows and dominated by per-row vector work + op dispatch (BENCHMARKING.md
+"Beam-search bottleneck analysis"); fusing the whole step turns it into one
+launch whose cost approaches the HBM floor (weights + cache traffic).
+
+Layouts (merged heads — no head-split padding):
+- x:               (R, E)           rows = batch or batch*beams
+- cache k/v:       (L, R, T, E)     self-attention cache, updated in place
+- memory k/v:      (L, R, P, E)     cross K/V, precomputed once per image
+- stacked weights: (L, fan_in, fan_out) / biases (L, 1, dim)
+
+Per-head attention scores are computed WITHOUT materializing (B, H, T, dh)
+tensors: with q pre-scaled, ``scores[r,t,h] = sum_e (k[r,t,e] * q[r,e]) *
+sel[e,h]`` where ``sel`` is the 0/1 head-selector matrix — one elementwise
+multiply plus one MXU matmul; the probs broadcast back through ``sel.T``.
+This keeps every array's last dim at E (lane-aligned) instead of dh=64.
+
+The embedding lookup and the vocab head stay outside (tiny / already
+MXU-efficient in XLA).  Dropout is NOT supported — callers must be in
+deterministic (eval) mode; the XLA path remains for training rollouts.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LN_EPS = 1e-5
+
+
+class DecodeWeights(NamedTuple):
+    """Stacked (L, ...) kernel-layout decoder-layer weights."""
+
+    w_qkv: jnp.ndarray  # (L, E, 3E)
+    b_qkv: jnp.ndarray  # (L, 1, 3E)
+    w_so: jnp.ndarray  # (L, E, E) self-attn out
+    b_so: jnp.ndarray  # (L, 1, E)
+    w_cq: jnp.ndarray  # (L, E, E) cross-attn query
+    b_cq: jnp.ndarray  # (L, 1, E)
+    w_co: jnp.ndarray  # (L, E, E) cross-attn out
+    b_co: jnp.ndarray  # (L, 1, E)
+    w_f1: jnp.ndarray  # (L, E, F)
+    b_f1: jnp.ndarray  # (L, 1, F)
+    w_f2: jnp.ndarray  # (L, F, E)
+    b_f2: jnp.ndarray  # (L, 1, E)
+    ln1_s: jnp.ndarray  # (L, 1, E)
+    ln1_b: jnp.ndarray
+    ln2_s: jnp.ndarray
+    ln2_b: jnp.ndarray
+    ln3_s: jnp.ndarray
+    ln3_b: jnp.ndarray
+
+
+def prepare_decode_weights(layers, embed_dim: int) -> DecodeWeights:
+    """Repack TransformerDecoder's stacked layer params (models/transformer.py
+    _init_layer) into the kernel layout.  Cheap (slices/reshapes), run once
+    per rollout outside the decode scan."""
+    e = embed_dim
+
+    def b2(x):  # (L, D) -> (L, 1, D)
+        return x[:, None, :]
+
+    return DecodeWeights(
+        w_qkv=layers["self_attn"]["in_w"],
+        b_qkv=b2(layers["self_attn"]["in_b"]),
+        w_so=layers["self_attn"]["out_w"],
+        b_so=b2(layers["self_attn"]["out_b"]),
+        w_cq=layers["cross_attn"]["in_w"][:, :, :e],
+        b_cq=b2(layers["cross_attn"]["in_b"][:, :e]),
+        w_co=layers["cross_attn"]["out_w"],
+        b_co=b2(layers["cross_attn"]["out_b"]),
+        w_f1=layers["linear1"]["w"],
+        b_f1=b2(layers["linear1"]["b"]),
+        w_f2=layers["linear2"]["w"],
+        b_f2=b2(layers["linear2"]["b"]),
+        ln1_s=b2(layers["norm1"]["scale"]),
+        ln1_b=b2(layers["norm1"]["bias"]),
+        ln2_s=b2(layers["norm2"]["scale"]),
+        ln2_b=b2(layers["norm2"]["bias"]),
+        ln3_s=b2(layers["norm3"]["scale"]),
+        ln3_b=b2(layers["norm3"]["bias"]),
+    )
+
+
+def prepare_cross_memory(
+    layers, mem: jnp.ndarray, embed_dim: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Projected memory (R, P, E) -> merged-head cross K/V (L, R, P, E)."""
+    e = embed_dim
+
+    def per_layer(pl_):
+        wk = pl_["cross_attn"]["in_w"][:, e : 2 * e]
+        bk = pl_["cross_attn"]["in_b"][e : 2 * e]
+        wv = pl_["cross_attn"]["in_w"][:, 2 * e :]
+        bv = pl_["cross_attn"]["in_b"][2 * e :]
+        return mem @ wk + bk, mem @ wv + bv
+
+    return jax.vmap(per_layer)(layers)
+
+
+def _ln(x, s, b):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + LN_EPS) * s + b
+
+
+def _kernel(
+    pos_ref, x_ref,
+    wqkv, bqkv, wso, bso, wcq, bcq, wco, bco,
+    wf1, bf1, wf2, bf2, ln1s, ln1b, ln2s, ln2b, ln3s, ln3b,
+    memk, memv, ck_in, cv_in,
+    x_out, alpha_out, ck_out, cv_out,
+    x_scr, alpha_scr,
+    *, num_heads: int, num_layers: int, mxu_dtype,
+):
+    l = pl.program_id(0)
+    pos = pos_ref[0, 0]
+    R, E = x_ref.shape
+    H = num_heads
+    dh = E // H
+    scale = 1.0 / math.sqrt(dh)
+
+    def mm(a, b):
+        return jnp.dot(
+            a.astype(mxu_dtype), b.astype(mxu_dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    # x rides in a VMEM scratch buffer across the sequential layer grid;
+    # seed it from the input at the first layer (same carry-in-scratch
+    # pattern as ops/mlp_block.py's backward accumulators).
+    @pl.when(l == 0)
+    def _():
+        x_scr[:] = x_ref[:].astype(jnp.float32)
+
+    x = x_scr[:]
+
+    # 0/1 head selector: sel[e, h] = 1 iff lane e belongs to head h.
+    e_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 0)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 1)
+    sel = ((e_ids // dh) == h_ids).astype(jnp.float32)
+
+    # --- self-attention against the cache (token at `pos` written first,
+    # matching decode_step's update-then-attend order) ---------------------
+    qkv = mm(x, wqkv[0]) + bqkv[0]
+    q = qkv[:, :E] * scale
+    k_new = qkv[:, E : 2 * E]
+    v_new = qkv[:, 2 * E :]
+
+    T = ck_in.shape[2]
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1)
+    is_pos = t_ids == pos
+    ck = jnp.where(is_pos, k_new[:, None, :], ck_in[0].astype(jnp.float32))
+    cv = jnp.where(is_pos, v_new[:, None, :], cv_in[0].astype(jnp.float32))
+    ck_out[0] = ck.astype(ck_out.dtype)
+    cv_out[0] = cv.astype(cv_out.dtype)
+
+    prod = ck * q[:, None, :]  # (R, T, E)
+    scores = mm(prod.reshape(R * T, E), sel).reshape(R, T, H)
+    keep = t_ids <= pos
+    scores = jnp.where(keep, scores, -1e30)
+    mx = jnp.max(scores, axis=1, keepdims=True)
+    num = jnp.where(keep, jnp.exp(scores - mx), 0.0)
+    probs = num / jnp.sum(num, axis=1, keepdims=True)
+    pe = mm(probs.reshape(R * T, H), sel.T).reshape(R, T, E)
+    ctx = jnp.sum(cv * pe, axis=1)  # (R, E)
+    sa = mm(ctx, wso[0]) + bso[0]
+    x = _ln(x + sa, ln1s[0], ln1b[0])
+
+    # --- cross-attention against precomputed memory K/V -------------------
+    q2 = (mm(x, wcq[0]) + bcq[0]) * scale
+    mk = memk[0].astype(jnp.float32)  # (R, P, E)
+    P = mk.shape[1]
+    prod2 = mk * q2[:, None, :]
+    scores2 = mm(prod2.reshape(R * P, E), sel).reshape(R, P, H)
+    mx2 = jnp.max(scores2, axis=1, keepdims=True)
+    num2 = jnp.exp(scores2 - mx2)
+    probs2 = num2 / jnp.sum(num2, axis=1, keepdims=True)  # (R, P, H)
+    pe2 = mm(probs2.reshape(R * P, H), sel.T).reshape(R, P, E)
+    ctx2 = jnp.sum(memv[0].astype(jnp.float32) * pe2, axis=1)
+    ca = mm(ctx2, wco[0]) + bco[0]
+
+    # layers+heads-averaged attention map (transformerDecoderAttVis.py:223-226)
+    alpha_l = jnp.mean(probs2, axis=2) / num_layers  # (R, P)
+
+    @pl.when(l == 0)
+    def _():
+        alpha_scr[:] = alpha_l
+
+    @pl.when(l > 0)
+    def _():
+        alpha_scr[:] = alpha_scr[:] + alpha_l
+
+    x = _ln(x + ca, ln2s[0], ln2b[0])
+
+    # --- FFN ---------------------------------------------------------------
+    h = jnp.maximum(mm(x, wf1[0]) + bf1[0], 0.0)
+    ff = mm(h, wf2[0]) + bf2[0]
+    x = _ln(x + ff, ln3s[0], ln3b[0])
+    x_scr[:] = x
+
+    @pl.when(l == num_layers - 1)
+    def _():
+        x_out[:] = x.astype(x_out.dtype)
+        alpha_out[:] = alpha_scr[:]
+
+
+def fused_decode_step(
+    w: DecodeWeights,
+    x: jnp.ndarray,  # (R, E) embedded token (+PE) at `pos`
+    pos: jnp.ndarray,  # scalar int32
+    cache_k: jnp.ndarray,  # (L, R, T, E)
+    cache_v: jnp.ndarray,  # (L, R, T, E)
+    mem_k: jnp.ndarray,  # (L, R, P, E)
+    mem_v: jnp.ndarray,  # (L, R, P, E)
+    num_heads: int,
+    *,
+    interpret: bool = False,
+    precise: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (x_out (R, E) f32, alpha (R, P) f32, cache_k, cache_v).
+    The caches are updated in place (aliased) with k/v at `pos`."""
+    L, R, T, E = cache_k.shape
+    P = mem_k.shape[2]
+    kernel = functools.partial(
+        _kernel,
+        num_heads=num_heads,
+        num_layers=L,
+        mxu_dtype=jnp.float32 if precise else jnp.bfloat16,
+    )
+    pos2 = jnp.reshape(pos.astype(jnp.int32), (1, 1))
+    const2 = lambda shape: pl.BlockSpec(
+        shape, lambda l: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    perl = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda l: (l,) + (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    weight_specs = [
+        perl(tuple(arr.shape[1:])) for arr in w
+    ]
+    x_out, alpha, ck, cv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((R, E), jnp.float32),
+            jax.ShapeDtypeStruct((R, P), jnp.float32),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ),
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda l: (0, 0), memory_space=pltpu.SMEM),
+            const2((R, E)),
+            *weight_specs,
+            perl((R, P, E)),
+            perl((R, P, E)),
+            perl((R, T, E)),
+            perl((R, T, E)),
+        ],
+        out_specs=(
+            const2((R, E)),
+            const2((R, P)),
+            perl((R, T, E)),
+            perl((R, T, E)),
+        ),
+        # operand order: pos, x, 18 weights, mem_k, mem_v, cache_k, cache_v
+        input_output_aliases={22: 2, 23: 3},
+        scratch_shapes=[
+            pltpu.VMEM((R, E), jnp.float32),  # x carry across layers
+            pltpu.VMEM((R, P), jnp.float32),  # alpha accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # x/alpha accumulate across grid steps -> sequential grid.
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(pos2, x, *w, mem_k, mem_v, cache_k, cache_v)
+    return x_out, alpha, ck, cv
+
+
+def merge_cache_heads(cache_split: jnp.ndarray) -> jnp.ndarray:
+    """(L, B, H, T, dh) split-head cache -> (L, B, T, E) kernel layout."""
+    L, B, H, T, dh = cache_split.shape
+    return cache_split.transpose(0, 1, 3, 2, 4).reshape(L, B, T, H * dh)
+
+
+def split_cache_heads(cache_merged: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(L, B, T, E) kernel layout -> (L, B, H, T, dh)."""
+    L, B, T, E = cache_merged.shape
+    dh = E // num_heads
+    return cache_merged.reshape(L, B, T, num_heads, dh).transpose(0, 1, 3, 2, 4)

@@ -199,6 +199,21 @@ class CaptionModel:
                 p, encoder_out, start_id, end_id, max_decode_len, **kw
             )
             return logits, seqs, None
+        if deterministic and self._use_decode_kernel():
+            return self.decoder.fused_rollout(
+                p, encoder_out, start_id, end_id, max_decode_len,
+                rng=rng, teacher_tokens=teacher_tokens, teacher_prob=teacher_prob,
+            )
         return self.decoder.rollout(
             p, encoder_out, start_id, end_id, max_decode_len, **kw
         )
+
+    def _use_decode_kernel(self) -> bool:
+        mode = self.cfg.decode_kernel
+        if mode == "on":
+            return True
+        if mode == "auto":
+            from tpu_captioner.core.backend import on_tpu
+
+            return on_tpu()
+        return False

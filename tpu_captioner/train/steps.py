@@ -292,11 +292,28 @@ def make_eval_step(
         )
         return aux
 
+    # The fused decode-step kernel's scan-carried KV caches (2 x ~25 MB at
+    # B=32) are staged in scoped VMEM by XLA; the default 16 MB budget OOMs.
+    # Raise it for this program (v5e has 128 MB VMEM).
+    compiler_options = None
+    if model.cfg.decoder in ("transformer", "transformer_attvis") and (
+        model._use_decode_kernel()
+    ):
+        import os
+
+        limit = int(os.environ.get("TPU_CAPTIONER_DECODE_VMEM_KIB", 102400))
+        compiler_options = {"xla_tpu_scoped_vmem_limit_kib": limit}
+
     repl, data_sh = _shardings(mesh)
     if mesh is None:
-        return jax.jit(step_fn)
+        return jax.jit(step_fn, compiler_options=compiler_options)
     batch_sh_all = {
         "images": data_sh, "captions": data_sh, "caplens": data_sh,
         "valid": data_sh, "all_captions": data_sh,
     }
-    return jax.jit(step_fn, in_shardings=(repl, batch_sh_all), out_shardings=repl)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, batch_sh_all),
+        out_shardings=repl,
+        compiler_options=compiler_options,
+    )
