@@ -69,6 +69,7 @@ def test_graphs_functions(tmp_path):
     from tpu_captioner.cli.graphs import (
         bleu_curves,
         caption_length_histogram,
+        finetune_sweep,
         loss_curves,
         word_frequency_chart,
     )
@@ -87,6 +88,12 @@ def test_graphs_functions(tmp_path):
     loss_curves([str(csv)], None, str(tmp_path / "loss.png"))
     bleu_curves([str(csv)], ["run"], str(tmp_path / "bleu.png"))
     assert (tmp_path / "loss.png").exists() and (tmp_path / "bleu.png").exists()
+    # Fine-tune-sweep comparison figure (makingGraphs.py:154-202).
+    finetune_sweep(
+        [str(csv), str(csv)], ["No Fine-tuning", "Layers 5-7, LR=1e-4"],
+        str(tmp_path / "ft.png"),
+    )
+    assert (tmp_path / "ft.png").stat().st_size > 1000
 
     wm = {"<pad>": 0, "dog": 1, "cat": 2, "the": 3, "<unk>": 4, "<start>": 5, "<end>": 6}
     (tmp_path / "wm.json").write_text(json.dumps(wm))

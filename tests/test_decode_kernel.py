@@ -115,6 +115,33 @@ def test_fused_rollout_equality(setup):
     np.testing.assert_allclose(alphas, alphas_ref, rtol=2e-5, atol=2e-6)
 
 
+def test_fused_beam_matches_xla_beam():
+    """beam_search with the fused decode-step kernel (decode_kernel='on',
+    interpret mode on CPU) must reproduce the XLA beam exactly."""
+    import dataclasses
+
+    from tpu_captioner.infer.beam import beam_search_batch
+    from tpu_captioner.train.model import CaptionModel
+
+    cfg = small_cfg(
+        encoder_depths=(1, 1), encoder_dims=(8, 40), decoder="transformer"
+    )
+    model_off = CaptionModel(dataclasses.replace(cfg, decode_kernel="off"))
+    model_on = CaptionModel(dataclasses.replace(cfg, decode_kernel="on"))
+    params = model_off.init_params(jax.random.PRNGKey(0), image_size=16)
+    images = jax.random.randint(
+        jax.random.PRNGKey(5), (3, 16, 16, 3), 0, 256, dtype=jnp.int32
+    ).astype(jnp.uint8)
+    kw = dict(beam_size=3, max_steps=8, start_id=cfg.vocab_size - 2,
+              end_id=cfg.vocab_size - 1)
+    ref = beam_search_batch(model_off, params, images, **kw)
+    got = beam_search_batch(model_on, params, images, **kw)
+    np.testing.assert_array_equal(got.sequence, ref.sequence)
+    np.testing.assert_array_equal(got.length, ref.length)
+    np.testing.assert_allclose(got.score, ref.score, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got.alphas, ref.alphas, rtol=1e-4, atol=1e-6)
+
+
 def test_fused_rollout_scheduled_sampling(setup):
     """Teacher mixing happens outside the kernel and must match exactly."""
     cfg, dec, p, enc_out = setup

@@ -124,6 +124,41 @@ def bleu_curves(csvs: List[str], labels: Optional[List[str]], out: str,
     plt.close()
 
 
+def finetune_sweep(csvs: List[str], labels: Optional[List[str]], out: str,
+                   title: str = "Validation BLEU-4 Score Comparison of "
+                                "Fine-tuning Strategies"):
+    """Dedicated fine-tune-sweep comparison figure (makingGraphs.py:154-202
+    plotFinetunedBleu4Scores): BLEU-4 x100 per epoch per run, epochs shifted
+    +1 with a (0, 0) starting point, dashed styles cycling after the first
+    run, legend upper-left."""
+    import numpy as np
+    import pandas as pd
+
+    plt = _plt()
+    plt.figure(figsize=(14, 8))
+    labels = labels or [os.path.basename(c) for c in csvs]
+    linestyles = ["-", "-", "-", "--", "-", "--"]
+    max_epoch = 1
+    for i, (path, label) in enumerate(zip(csvs, labels)):
+        df = pd.read_csv(path)
+        epochs = np.concatenate([[0], df["epoch"].to_numpy() + 1])
+        bleu4 = np.concatenate([[0.0], df["bleu4"].to_numpy() * 100])
+        plt.plot(
+            epochs, bleu4, label=label,
+            linestyle=linestyles[i % len(linestyles)], linewidth=2,
+        )
+        max_epoch = max(max_epoch, int(epochs.max()))
+    plt.title(title, fontsize=18, fontweight="bold", pad=20)
+    plt.xlabel("Epoch", fontsize=16, labelpad=15)
+    plt.ylabel("BLEU-4 Score", fontsize=16, labelpad=15)
+    plt.grid(True, linestyle="--", alpha=0.6)
+    plt.legend(fontsize=12, loc="upper left")
+    plt.tight_layout()
+    plt.xticks(range(0, max_epoch + 1, max(1, max_epoch // 10)), fontsize=14)
+    plt.savefig(out, dpi=300)
+    plt.close()
+
+
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -149,6 +184,13 @@ def main():
     bl.add_argument("--out", required=True)
     bl.add_argument("--column", default="bleu4")
 
+    ft = sub.add_parser("finetune-sweep")
+    ft.add_argument("--csv", nargs="+", required=True)
+    ft.add_argument("--labels", nargs="*", default=None)
+    ft.add_argument("--out", required=True)
+    ft.add_argument("--title", default="Validation BLEU-4 Score Comparison "
+                                       "of Fine-tuning Strategies")
+
     args = p.parse_args()
     if args.cmd == "wordfreq":
         word_frequency_chart(args.captions, args.wordMap, args.out, args.topN)
@@ -158,6 +200,8 @@ def main():
         loss_curves(args.csv, args.labels, args.out)
     elif args.cmd == "bleu":
         bleu_curves(args.csv, args.labels, args.out, args.column)
+    elif args.cmd == "finetune-sweep":
+        finetune_sweep(args.csv, args.labels, args.out, args.title)
 
 
 if __name__ == "__main__":
