@@ -411,7 +411,7 @@ class TransformerDecoder:
         teacher_tokens: Optional[jnp.ndarray] = None,
         teacher_prob: float = 0.0,
         interpret: bool = False,
-        precise: bool = True,
+        precise: bool = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
         """``rollout`` with the whole per-token decode body running as ONE
         Pallas kernel (ops/decode_step.py) instead of ~400 XLA ops — same
@@ -425,6 +425,8 @@ class TransformerDecoder:
         )
 
         c = self.cfg
+        if jax.default_backend() == "cpu":
+            interpret = True  # Pallas on the CPU backend is interpret-only
         mem = self._project_memory(p, encoder_out)  # (B, P, E)
         B, _, E = mem.shape
         kw = prepare_decode_weights(p["layers"], E)

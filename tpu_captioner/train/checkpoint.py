@@ -51,22 +51,38 @@ def save_checkpoint(
     host_meta: Dict[str, Any],
     is_best: bool = False,
 ) -> str:
-    """Write directory/name/{state, meta.json}; copy to BEST_name on best."""
+    """Write directory/name/{state, meta.json}; copy to BEST_name on best.
+
+    Multi-process: EVERY process must call this — Orbax's save is itself a
+    collective (sync_global_devices barriers inside), so a coordinator-only
+    call deadlocks the pod at the first checkpoint (found by
+    tests/test_distributed_real.py; the reference's rank-0-only torch.save,
+    trainMultiGPU.py:295, has no such constraint).  Host-side writes
+    (meta.json, the BEST_ copy) still happen on the coordinator only."""
+    from tpu_captioner.parallel.collectives import is_coordinator, is_multiprocess
+
     base = os.path.join(os.path.abspath(directory), name)
     os.makedirs(base, exist_ok=True)
     ckptr = ocp.StandardCheckpointer()
     state_path = _ckpt(base)
-    if os.path.exists(state_path):
+    if is_coordinator() and os.path.exists(state_path):
         shutil.rmtree(state_path)
+    if is_multiprocess():
+        # Nobody may enter the save while the coordinator clears the old
+        # state directory (shared filesystem).
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("tpu_captioner_ckpt_clear")
     ckptr.save(state_path, state)
     ckptr.wait_until_finished()
-    with open(os.path.join(base, "meta.json"), "w") as f:
-        json.dump(host_meta, f)
-    if is_best:
-        best = os.path.join(os.path.abspath(directory), f"BEST_{name}")
-        if os.path.exists(best):
-            shutil.rmtree(best)
-        shutil.copytree(base, best)
+    if is_coordinator():
+        with open(os.path.join(base, "meta.json"), "w") as f:
+            json.dump(host_meta, f)
+        if is_best:
+            best = os.path.join(os.path.abspath(directory), f"BEST_{name}")
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(base, best)
     return base
 
 

@@ -364,6 +364,8 @@ class Trainer:
 
     # -- full run -----------------------------------------------------------
     def run(self) -> List[Dict[str, Any]]:
+        from tpu_captioner.parallel.collectives import is_coordinator
+
         tc = self.exp.train
         mc = self.exp.model
         for epoch in range(self.start_epoch, tc.epochs):
@@ -423,8 +425,6 @@ class Trainer:
             else:
                 self.epochs_since_improvement = 0
 
-            from tpu_captioner.parallel.collectives import is_coordinator
-
             name = checkpoint_name(
                 self.data_name,
                 self.model.is_lstm,
@@ -432,8 +432,8 @@ class Trainer:
                 tc.encoder_lr,
                 mc.embedding_name,
             )
-            if not is_coordinator():
-                continue  # rank-0-only checkpoints (trainMultiGPU.py:295)
+            # Rank-0-only FILES (trainMultiGPU.py:295), but the save call is
+            # collective — every process must enter it (see save_checkpoint).
             import dataclasses
 
             save_checkpoint(
@@ -451,7 +451,8 @@ class Trainer:
                 },
                 is_best=is_best,
             )
-        self.write_results_csv()
+        if is_coordinator():
+            self.write_results_csv()
         return self.results
 
     def write_results_csv(self) -> Optional[str]:
