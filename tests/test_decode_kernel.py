@@ -92,6 +92,30 @@ def test_single_and_multi_step_parity(setup):
         )
 
 
+def test_row_tiled_grid_matches_single_tile(setup):
+    """The (layers, row-tiles) grid — including a ragged final tile — must
+    match the one-tile path exactly (x/alpha carries live in full-size
+    scratch sliced per tile)."""
+    cfg, dec, p, enc_out = setup
+    B, T = 4, 6  # row_tile=3 -> tiles of 3 + ragged 1
+    mem = dec._project_memory(p, enc_out)
+    kw = prepare_decode_weights(p["layers"], cfg.embed_dim)
+    mem_k, mem_v = prepare_cross_memory(p["layers"], mem, cfg.embed_dim)
+    ck = jnp.zeros((cfg.num_layers, B, T, cfg.embed_dim))
+    cv = jnp.zeros_like(ck)
+    toks = jnp.asarray([3, 9, 1, 7], jnp.int32)
+    x = dec._embed(p, toks[:, None], jnp.int32(0)[None], None, True)[:, 0, :]
+    ref = fused_decode_step(
+        kw, x, jnp.int32(0), ck, cv, mem_k, mem_v, cfg.num_heads, interpret=True
+    )
+    got = fused_decode_step(
+        kw, x, jnp.int32(0), ck, cv, mem_k, mem_v, cfg.num_heads,
+        interpret=True, row_tile=3,
+    )
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
 def test_cache_layout_roundtrip(setup):
     cfg, dec, p, enc_out = setup
     x = jax.random.normal(jax.random.PRNGKey(3), (cfg.num_layers, 4, cfg.num_heads, 8, 16))

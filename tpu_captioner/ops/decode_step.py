@@ -131,9 +131,16 @@ def _kernel(
     x_scr, alpha_scr,
     *, num_heads: int, num_layers: int, mxu_dtype,
 ):
+    # Grid: (layers, row tiles), layers OUTER — per-layer weights stay
+    # resident across the inner row sweep; cache/memory blocks stream per
+    # (l, r).  The hidden state and alpha accumulator live in full-size VMEM
+    # scratch, sliced per row tile (scratch persists across the whole grid,
+    # so tile r's carry survives the non-consecutive l visits).
     l = pl.program_id(0)
+    ri = pl.program_id(1)
     pos = pos_ref[0, 0]
-    R, E = x_ref.shape
+    R, E = x_ref.shape  # R = row-tile size here
+    row0 = pl.multiple_of(ri * R, 8)
     H = num_heads
     dh = E // H
     scale = 1.0 / math.sqrt(dh)
@@ -144,14 +151,13 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )
 
-    # x rides in a VMEM scratch buffer across the sequential layer grid;
-    # seed it from the input at the first layer (same carry-in-scratch
-    # pattern as ops/mlp_block.py's backward accumulators).
+    # Seed this row tile's carry from the input at the first layer (same
+    # carry-in-scratch pattern as ops/mlp_block.py's backward accumulators).
     @pl.when(l == 0)
     def _():
-        x_scr[:] = x_ref[:].astype(jnp.float32)
+        x_scr[pl.ds(row0, R), :] = x_ref[:].astype(jnp.float32)
 
-    x = x_scr[:]
+    x = x_scr[pl.ds(row0, R), :]
 
     # 0/1 head selector: sel[e, h] = 1 iff lane e belongs to head h.
     e_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 0)
@@ -203,11 +209,11 @@ def _kernel(
 
     @pl.when(l == 0)
     def _():
-        alpha_scr[:] = alpha_l
+        alpha_scr[pl.ds(row0, R), :] = alpha_l
 
     @pl.when(l > 0)
     def _():
-        alpha_scr[:] = alpha_scr[:] + alpha_l
+        alpha_scr[pl.ds(row0, R), :] = alpha_scr[pl.ds(row0, R), :] + alpha_l
 
     x = _ln(x + ca, ln2s[0], ln2b[0])
 
@@ -215,12 +221,12 @@ def _kernel(
     h = jnp.maximum(mm(x, wf1[0]) + bf1[0], 0.0)
     ff = mm(h, wf2[0]) + bf2[0]
     x = _ln(x + ff, ln3s[0], ln3b[0])
-    x_scr[:] = x
+    x_scr[pl.ds(row0, R), :] = x
 
     @pl.when(l == num_layers - 1)
     def _():
         x_out[:] = x.astype(x_out.dtype)
-        alpha_out[:] = alpha_scr[:]
+        alpha_out[:] = alpha_scr[pl.ds(row0, R), :]
 
 
 def fused_decode_step(
@@ -235,6 +241,7 @@ def fused_decode_step(
     *,
     interpret: bool = False,
     precise: bool = None,
+    row_tile: int = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (x_out (R, E) f32, alpha (R, P) f32, cache_k, cache_v).
     The caches are updated in place (aliased) with k/v at `pos`.
@@ -248,6 +255,11 @@ def fused_decode_step(
         precise = interpret
     L, R, T, E = cache_k.shape
     P = mem_k.shape[2]
+    # Row-tile so per-step VMEM stays bounded at large R (beam: R = B*k).
+    # At RT=32 a step holds ~8 MB weights + ~26 MB mem/cache blocks (f32),
+    # comfortably double-bufferable; one-tile fast path for greedy eval.
+    RT = row_tile or (R if R <= 32 else 32)
+    NR = pl.cdiv(R, RT)
     kernel = functools.partial(
         _kernel,
         num_heads=num_heads,
@@ -255,15 +267,19 @@ def fused_decode_step(
         mxu_dtype=jnp.float32 if precise else jnp.bfloat16,
     )
     pos2 = jnp.reshape(pos.astype(jnp.int32), (1, 1))
-    const2 = lambda shape: pl.BlockSpec(
-        shape, lambda l: (0,) * len(shape), memory_space=pltpu.VMEM
+    perr = lambda shape: pl.BlockSpec(
+        shape, lambda l, r: (r,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM,
     )
     perl = lambda shape: pl.BlockSpec(
-        (1,) + shape, lambda l: (l,) + (0,) * len(shape), memory_space=pltpu.VMEM
+        (1,) + shape, lambda l, r: (l,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
     )
-    weight_specs = [
-        perl(tuple(arr.shape[1:])) for arr in w
-    ]
+    perlr = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda l, r: (l, r) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM,
+    )
+    weight_specs = [perl(tuple(arr.shape[1:])) for arr in w]
     x_out, alpha, ck, cv = pl.pallas_call(
         kernel,
         out_shape=(
@@ -272,31 +288,31 @@ def fused_decode_step(
             jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
             jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
         ),
-        grid=(L,),
+        grid=(L, NR),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda l: (0, 0), memory_space=pltpu.SMEM),
-            const2((R, E)),
+            pl.BlockSpec((1, 1), lambda l, r: (0, 0), memory_space=pltpu.SMEM),
+            perr((RT, E)),
             *weight_specs,
-            perl((R, P, E)),
-            perl((R, P, E)),
-            perl((R, T, E)),
-            perl((R, T, E)),
+            perlr((RT, P, E)),
+            perlr((RT, P, E)),
+            perlr((RT, T, E)),
+            perlr((RT, T, E)),
         ],
         out_specs=(
-            const2((R, E)),
-            const2((R, P)),
-            perl((R, T, E)),
-            perl((R, T, E)),
+            perr((RT, E)),
+            perr((RT, P)),
+            perlr((RT, T, E)),
+            perlr((RT, T, E)),
         ),
         # operand order: pos, x, 18 weights, mem_k, mem_v, cache_k, cache_v
         input_output_aliases={22: 2, 23: 3},
         scratch_shapes=[
-            pltpu.VMEM((R, E), jnp.float32),  # x carry across layers
-            pltpu.VMEM((R, P), jnp.float32),  # alpha accumulator
+            pltpu.VMEM((NR * RT, E), jnp.float32),  # x carry across layers
+            pltpu.VMEM((NR * RT, P), jnp.float32),  # alpha accumulator
         ],
         compiler_params=pltpu.CompilerParams(
             # x/alpha accumulate across grid steps -> sequential grid.
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(pos2, x, *w, mem_k, mem_v, cache_k, cache_v)
