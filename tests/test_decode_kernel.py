@@ -139,6 +139,42 @@ def test_fused_rollout_equality(setup):
     np.testing.assert_allclose(alphas, alphas_ref, rtol=2e-5, atol=2e-6)
 
 
+def test_mega_rollout_equality(setup):
+    """The whole-rollout mega-kernel (one launch: embedding one-hot lookup,
+    all decode steps, vocab head, in-kernel argmax + finished masking) must
+    reproduce rollout exactly in interpret mode."""
+    cfg, dec, p, enc_out = setup
+    start, end = cfg.vocab_size - 2, cfg.vocab_size - 1
+    L = 10
+    logits_ref, seqs_ref, alphas_ref = dec.rollout(
+        p, enc_out, start, end, L, deterministic=True
+    )
+    logits, seqs, alphas = dec.mega_rollout(
+        p, enc_out, start, end, L, interpret=True
+    )
+    np.testing.assert_array_equal(seqs, seqs_ref)
+    np.testing.assert_allclose(logits, logits_ref, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(alphas, alphas_ref, rtol=2e-5, atol=2e-6)
+
+
+def test_mega_rollout_scheduled_sampling(setup):
+    cfg, dec, p, enc_out = setup
+    B = enc_out.shape[0]
+    start, end = cfg.vocab_size - 2, cfg.vocab_size - 1
+    L = 6
+    teacher = jax.random.randint(jax.random.PRNGKey(9), (B, L), 1, cfg.vocab_size)
+    rng = jax.random.PRNGKey(11)
+    _, seqs_ref, _ = dec.rollout(
+        p, enc_out, start, end, L, deterministic=True,
+        rng=rng, teacher_tokens=teacher, teacher_prob=0.5,
+    )
+    _, seqs, _ = dec.mega_rollout(
+        p, enc_out, start, end, L, interpret=True,
+        rng=rng, teacher_tokens=teacher, teacher_prob=0.5,
+    )
+    np.testing.assert_array_equal(seqs, seqs_ref)
+
+
 def test_fused_beam_matches_xla_beam():
     """beam_search with the fused decode-step kernel (decode_kernel='on',
     interpret mode on CPU) must reproduce the XLA beam exactly."""

@@ -340,6 +340,71 @@ class TransformerDecoder:
         alpha = jnp.mean(ca_means, axis=0)  # (B, P)
         return logits, Cache(new_k, new_v), alpha
 
+    def mega_rollout(
+        self,
+        p: Params,
+        encoder_out: jnp.ndarray,
+        start_id: int,
+        end_id: int,
+        max_decode_len: int,
+        *,
+        rng: Optional[jax.Array] = None,
+        teacher_tokens: Optional[jnp.ndarray] = None,
+        teacher_prob: float = 0.0,
+        interpret: bool = False,
+        precise: bool = None,
+        storage_dtype=None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+        """``rollout`` as ONE Pallas launch for the whole generation
+        (ops/decode_step.py fused_full_rollout): vocab head, argmax, token
+        feedback and the embedding lookup all happen in-kernel, with weights
+        and both vocab tables VMEM-resident and the KV caches living only in
+        VMEM scratch.  Deterministic mode only.  ``storage_dtype=bf16``
+        halves residency so the flagship (V~9.5k) fits in v5e VMEM."""
+        from tpu_captioner.ops.decode_step import (
+            fused_full_rollout,
+            prepare_cross_memory,
+            prepare_decode_weights,
+        )
+
+        c = self.cfg
+        if jax.default_backend() == "cpu":
+            interpret = True
+        mem = self._project_memory(p, encoder_out)
+        B, _, E = mem.shape
+        kw = prepare_decode_weights(p["layers"], E)
+        mem_k, mem_v = prepare_cross_memory(p["layers"], mem, E)
+        emb = p["embedding"]
+        if c.embedding_path is not None:
+            # padding_idx semantics (transformerDecoder.py:74): the one-hot
+            # matmul returns table rows verbatim, so pin the pad row here.
+            emb = emb.at[0].set(0.0)
+        fc_w, fc_b = p["fc_out"]["w"], p["fc_out"]["b"]
+        if storage_dtype is not None:
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(storage_dtype), t
+            )
+            kw, mem_k, mem_v = cast(kw), cast(mem_k), cast(mem_v)
+            emb, fc_w = cast(emb), cast(fc_w)
+        teacher = use_teacher = None
+        if teacher_tokens is not None and teacher_prob > 0.0 and rng is not None:
+            def mask_at(t):
+                return jax.random.bernoulli(
+                    jax.random.fold_in(jax.random.fold_in(rng, t), 777),
+                    teacher_prob, (B,),
+                )
+
+            steps_idx = jnp.arange(max_decode_len)
+            use_teacher = jax.vmap(mask_at)(steps_idx)
+            teacher = jnp.swapaxes(teacher_tokens[:, :max_decode_len], 0, 1)
+        logits, seqs, alphas = fused_full_rollout(
+            kw, emb, fc_w, fc_b, self.pe[: max_decode_len],
+            mem_k, mem_v, start_id, end_id, max_decode_len, c.num_heads,
+            teacher=teacher, use_teacher=use_teacher,
+            interpret=interpret, precise=precise,
+        )
+        return logits, seqs, alphas if self.capture_alphas else None
+
     # -- free-running rollout ----------------------------------------------
     def rollout(
         self,

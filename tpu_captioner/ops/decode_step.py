@@ -319,6 +319,214 @@ def fused_decode_step(
     return x_out, alpha, ck, cv
 
 
+# ---------------------------------------------------------------------------
+# Whole-rollout mega-kernel: ALL greedy decode steps in ONE launch
+# ---------------------------------------------------------------------------
+
+def _mega_kernel(
+    seed_tok_ref, teacher_ref, use_teacher_ref, pe_ref,
+    wqkv, bqkv, wso, bso, wcq, bcq, wco, bco,
+    wf1, bf1, wf2, bf2, ln1s, ln1b, ln2s, ln2b, ln3s, ln3b,
+    emb_ref, fcw_ref, fcb_ref, memk, memv,
+    logits_out, seqs_out, alpha_out,
+    ck_scr, cv_scr, tok_scr, fin_scr,
+    *, num_heads: int, num_layers: int, end_id: int, mxu_dtype,
+):
+    s = pl.program_id(0)
+    L = num_layers
+    R, P, E = memk.shape[1], memk.shape[2], memk.shape[3]
+    T = ck_scr.shape[2]
+    V = fcw_ref.shape[1]
+    H = num_heads
+    dh = E // H
+    scale = 1.0 / math.sqrt(dh)
+
+    def mm(a, b):
+        return jnp.dot(
+            a.astype(mxu_dtype), b.astype(mxu_dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(s == 0)
+    def _():
+        tok_scr[:] = seed_tok_ref[:]
+        fin_scr[:] = jnp.zeros_like(fin_scr)
+        # Uninitialized VMEM may hold NaN; masked positions still touch it
+        # via `cv * weights(=0)` (NaN * 0 = NaN), so zero the caches once.
+        ck_scr[:] = jnp.zeros_like(ck_scr)
+        cv_scr[:] = jnp.zeros_like(cv_scr)
+
+    tok = tok_scr[0]  # (R,) int32
+    fin = fin_scr[0]  # (R,) int32 (0/1)
+    # Scheduled-sampling mix happens on the INPUT token (models/transformer.py
+    # rollout body); masks precomputed on the host.
+    tok = jnp.where(use_teacher_ref[0] != 0, teacher_ref[0], tok)
+
+    # Embedding lookup as a one-hot matmul (MXU-friendly row gather), then
+    # +PE at position s (deterministic mode: no dropout).
+    tok_col = tok.reshape(R, 1)
+    v_ids = jax.lax.broadcasted_iota(jnp.int32, (R, V), 1)
+    onehot = (v_ids == tok_col).astype(jnp.float32)
+    x = mm(onehot, emb_ref[:]) + pe_ref[pl.ds(s, 1), :]  # (R, E)
+
+    e_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 0)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 1)
+    sel = ((e_ids // dh) == h_ids).astype(jnp.float32)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1)
+    keep = t_ids <= s
+
+    alpha_acc = jnp.zeros((R, P), jnp.float32)
+    for l in range(L):  # static unroll: weights are VMEM-resident
+        qkv = mm(x, wqkv[l]) + bqkv[l]
+        q = qkv[:, :E] * scale
+        ck_scr[l, :, pl.ds(s, 1), :] = qkv[:, None, E : 2 * E].astype(ck_scr.dtype)
+        cv_scr[l, :, pl.ds(s, 1), :] = qkv[:, None, 2 * E :].astype(cv_scr.dtype)
+        ck = ck_scr[l].astype(jnp.float32)  # (R, T, E); t > s is garbage,
+        cv = cv_scr[l].astype(jnp.float32)  # masked below
+        prod = ck * q[:, None, :]
+        scores = mm(prod.reshape(R * T, E), sel).reshape(R, T, H)
+        scores = jnp.where(keep, scores, -1e30)
+        mx = jnp.max(scores, axis=1, keepdims=True)
+        num = jnp.where(keep, jnp.exp(scores - mx), 0.0)
+        probs = num / jnp.sum(num, axis=1, keepdims=True)
+        pe_b = mm(probs.reshape(R * T, H), sel.T).reshape(R, T, E)
+        ctx = jnp.sum(cv * pe_b, axis=1)
+        sa = mm(ctx, wso[l]) + bso[l]
+        x = _ln(x + sa, ln1s[l], ln1b[l])
+
+        q2 = (mm(x, wcq[l]) + bcq[l]) * scale
+        mk = memk[l].astype(jnp.float32)
+        prod2 = mk * q2[:, None, :]
+        scores2 = mm(prod2.reshape(R * P, E), sel).reshape(R, P, H)
+        mx2 = jnp.max(scores2, axis=1, keepdims=True)
+        num2 = jnp.exp(scores2 - mx2)
+        probs2 = num2 / jnp.sum(num2, axis=1, keepdims=True)
+        pe2 = mm(probs2.reshape(R * P, H), sel.T).reshape(R, P, E)
+        ctx2 = jnp.sum(memv[l].astype(jnp.float32) * pe2, axis=1)
+        ca = mm(ctx2, wco[l]) + bco[l]
+        alpha_acc = alpha_acc + jnp.mean(probs2, axis=2) / L
+        x = _ln(x + ca, ln2s[l], ln2b[l])
+
+        h = jnp.maximum(mm(x, wf1[l]) + bf1[l], 0.0)
+        ff = mm(h, wf2[l]) + bf2[l]
+        x = _ln(x + ff, ln3s[l], ln3b[l])
+
+    # Vocab head + greedy argmax (first-max-index, matching jnp.argmax).
+    logits = mm(x, fcw_ref[:]) + fcb_ref[0]  # (R, V) f32
+    mxl = jnp.max(logits, axis=1, keepdims=True)
+    pred = jnp.min(
+        jnp.where(logits == mxl, v_ids, V), axis=1
+    ).astype(jnp.int32)  # (R,)
+
+    act = fin == 0
+    logits_out[0] = jnp.where(act[:, None], logits, 0.0).astype(logits_out.dtype)
+    seqs_out[0] = jnp.where(act, pred, 0)
+    alpha_out[0] = jnp.where(act[:, None], alpha_acc, 0.0)
+    # Feedback carries the POST-mix token for frozen rows (rollout semantics).
+    tok_scr[0] = jnp.where(act, pred, tok)
+    fin_scr[0] = jnp.where(act & (pred == end_id), 1, fin)
+
+
+def fused_full_rollout(
+    w: DecodeWeights,
+    embedding: jnp.ndarray,  # (V, E) — pre-zeroed pad row if required
+    fc_w: jnp.ndarray,  # (E, V)
+    fc_b: jnp.ndarray,  # (V,)
+    pe: jnp.ndarray,  # (>=steps, E) positional table
+    mem_k: jnp.ndarray,  # (L, R, P, E)
+    mem_v: jnp.ndarray,
+    start_id: int,
+    end_id: int,
+    steps: int,
+    num_heads: int,
+    *,
+    teacher: jnp.ndarray = None,  # (steps, R) int32
+    use_teacher: jnp.ndarray = None,  # (steps, R) bool/int32
+    interpret: bool = False,
+    precise: bool = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """ENTIRE greedy rollout — vocab head, argmax, token feedback, one-hot
+    embedding lookup and all ``steps`` KV-cached decode steps — as ONE Pallas
+    launch.  Weights, embedding/vocab tables, and cross K/V stay VMEM-
+    resident for the whole generation; the self-attention caches never exist
+    outside VMEM scratch.  Deterministic mode only (eval/test/caption).
+    Pass bf16 weight/memory arrays to fit the flagship in VMEM (~93 MB);
+    f32 compute throughout, matmuls per ``precise`` (see fused_decode_step).
+
+    Returns (logits (R, steps, V) f32, seqs (R, steps) i32, alphas
+    (R, steps, P) f32) with rows finished earlier zeroed — identical
+    semantics to TransformerDecoder.rollout.
+    """
+    if precise is None:
+        precise = interpret
+    L, R, P, E = mem_k.shape
+    V = fc_w.shape[1]
+    T = steps + 1
+    if teacher is None:
+        teacher = jnp.zeros((steps, R), jnp.int32)
+        use_teacher = jnp.zeros((steps, R), jnp.int32)
+    kernel = functools.partial(
+        _mega_kernel,
+        num_heads=num_heads,
+        num_layers=L,
+        end_id=end_id,
+        mxu_dtype=jnp.float32 if precise else jnp.bfloat16,
+    )
+    seed_tok = jnp.full((1, R), start_id, jnp.int32)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda s: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    pers = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda s: (s,) + (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    weight_specs = [const(tuple(a.shape)) for a in w]
+    logits, seqs, alphas = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, R, V), jnp.float32),
+            jax.ShapeDtypeStruct((steps, R), jnp.int32),
+            jax.ShapeDtypeStruct((steps, R, P), jnp.float32),
+        ),
+        grid=(steps,),
+        in_specs=[
+            const((1, R)),
+            pers((R,)),
+            pers((R,)),
+            const(tuple(pe.shape)),
+            *weight_specs,
+            const((V, E)),
+            const((E, V)),
+            const((1, V)),
+            const((L, R, P, E)),
+            const((L, R, P, E)),
+        ],
+        out_specs=(
+            pers((R, V)),
+            pers((R,)),
+            pers((R, P)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((L, R, T, E), mem_k.dtype),  # self-attn K cache
+            pltpu.VMEM((L, R, T, E), mem_k.dtype),  # self-attn V cache
+            pltpu.VMEM((1, R), jnp.int32),  # current token
+            pltpu.VMEM((1, R), jnp.int32),  # finished flags
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        seed_tok, teacher.astype(jnp.int32),
+        (use_teacher if use_teacher is not None else jnp.zeros((steps, R))).astype(jnp.int32),
+        pe, *w, embedding, fc_w, fc_b[None], mem_k, mem_v,
+    )
+    return (
+        jnp.swapaxes(logits, 0, 1),
+        jnp.swapaxes(seqs, 0, 1),
+        jnp.swapaxes(alphas, 0, 1),
+    )
+
+
 def merge_cache_heads(cache_split: jnp.ndarray) -> jnp.ndarray:
     """(L, B, H, T, dh) split-head cache -> (L, B, T, E) kernel layout."""
     L, B, H, T, dh = cache_split.shape

@@ -199,7 +199,18 @@ class CaptionModel:
                 p, encoder_out, start_id, end_id, max_decode_len, **kw
             )
             return logits, seqs, None
-        if deterministic and self._use_decode_kernel():
+        mode = self._decode_kernel_mode()
+        if deterministic and mode == "mega":
+            import jax.numpy as jnp
+
+            from tpu_captioner.core.backend import on_tpu
+
+            return self.decoder.mega_rollout(
+                p, encoder_out, start_id, end_id, max_decode_len,
+                rng=rng, teacher_tokens=teacher_tokens, teacher_prob=teacher_prob,
+                storage_dtype=jnp.bfloat16 if on_tpu() else None,
+            )
+        if deterministic and mode == "step":
             return self.decoder.fused_rollout(
                 p, encoder_out, start_id, end_id, max_decode_len,
                 rng=rng, teacher_tokens=teacher_tokens, teacher_prob=teacher_prob,
@@ -208,12 +219,30 @@ class CaptionModel:
             p, encoder_out, start_id, end_id, max_decode_len, **kw
         )
 
-    def _use_decode_kernel(self) -> bool:
+    def _decode_kernel_mode(self) -> str:
+        """'off' | 'step' (per-token fused kernel) | 'mega' (whole-rollout
+        single launch).  'mega' requires the vocab tables + weights to fit
+        VMEM (~(2V*E + L*7E^2)*2 bytes bf16); fall back to 'step' when too
+        big (COCO's 47k-word vocab without min-freq pruning, say)."""
         mode = self.cfg.decode_kernel
-        if mode == "on":
-            return True
+        if mode == "off" or mode is False:
+            return "off"
+        c = self.cfg
+        mega_bytes = 2 * (
+            2 * c.vocab_size * c.embed_dim
+            + c.num_layers * 7 * c.embed_dim * c.embed_dim
+        )
+        mega_ok = mega_bytes < 60 * 1024 * 1024
+        if mode in ("on", "step"):
+            return "step"
+        if mode == "mega":
+            return "mega" if mega_ok else "step"
         if mode == "auto":
             from tpu_captioner.core.backend import on_tpu
 
-            return on_tpu()
-        return False
+            return "step" if on_tpu() else "off"
+        return "off"
+
+    def _use_decode_kernel(self) -> bool:
+        """Beam adapters use the per-token kernel whenever kernels are on."""
+        return self._decode_kernel_mode() != "off"
