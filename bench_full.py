@@ -117,9 +117,17 @@ def main():
              flops=train_step_flops(B, V, train_encoder=train_encoder))
         del state
 
-    # 2) Free-running greedy eval (51 cached decode steps).  Mirrors the
-    # Trainer: eval/beam use the plain-XLA encoder (fused kernel only wins
-    # in train-step programs, see train/model.py).
+    # Distinct per-rep inputs, derived ON-DEVICE (identical repeated
+    # dispatches and host->device transfers inside timed loops are both
+    # unreliable through the relay — BENCHMARKING.md measurement hygiene).
+    vary = jax.jit(lambda x, s: x + s)
+    image_list = [vary(batch["images"], np.uint8(i + 1)) for i in range(10)]
+    jax.block_until_ready(image_list)
+
+    # 2) Free-running greedy eval (51 cached decode steps).  The decode runs
+    # as the fused Pallas kernel ('auto' on TPU); the encoder stays XLA
+    # (the fused encoder kernel only wins in train-step programs,
+    # train/model.py).
     eval_model = CaptionModel(
         ModelConfig(decoder="transformer", vocab_size=V, compute_dtype=dtype,
                     use_pallas="off")
@@ -131,8 +139,8 @@ def main():
     log(f"eval compile+first: {time.perf_counter() - t0:.1f}s")
     n = 10
     t0 = time.perf_counter()
-    for _ in range(n):
-        aux = eval_step(params, eval_batch)
+    for i in range(n):
+        aux = eval_step(params, dict(eval_batch, images=image_list[i]))
     float(aux["loss"])  # host fetch forces completion
     emit("greedy_rollout_eval", (time.perf_counter() - t0) / n, 0.73,
          flops=eval_step_flops(B, V))
@@ -147,9 +155,9 @@ def main():
     log(f"beam compile+first: {time.perf_counter() - t0:.1f}s")
     n = 5
     t0 = time.perf_counter()
-    for _ in range(n):
+    for i in range(n):
         res = beam_search_batch(
-            eval_model, params, batch["images"],
+            eval_model, params, image_list[i],
             beam_size=5, max_steps=50, start_id=V - 2, end_id=V - 1,
         )
     float(res.score[0])  # host fetch forces completion

@@ -52,6 +52,14 @@ def main():
     jax.block_until_ready(params)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (B, 256, 256, 3), dtype=np.uint8))
+    # Distinct inputs per rep (identical repeated dispatches are unreliable
+    # through the relay), derived ON-DEVICE — host transfers are lazy over
+    # the relay tunnel and would pollute the timed loop.
+    vary = jax.jit(lambda x, s: x + s)
+    image_list = [vary(images, np.uint8(i + 1)) for i in range(args.reps)]
+    jax.block_until_ready(image_list)
+    for a in image_list:
+        float(a.ravel()[0].astype(jnp.float32))
     kw = dict(beam_size=args.beam, max_steps=50, start_id=V - 2, end_id=V - 1)
 
     def run(name, model):
@@ -60,8 +68,8 @@ def main():
         jax.block_until_ready(res.sequence)
         log(f"{name} compile+first: {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
-        for _ in range(args.reps):
-            res = beam_search_batch(model, params, images, **kw)
+        for i in range(args.reps):
+            res = beam_search_batch(model, params, image_list[i], **kw)
         float(res.score[0])
         dt = (time.perf_counter() - t0) / args.reps
         print(json.dumps({

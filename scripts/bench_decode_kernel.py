@@ -57,6 +57,12 @@ def main():
     )
     start, end = args.vocab - 2, args.vocab - 1
 
+    # Distinct inputs per rep + a host fetch at the end: repeated identical
+    # dispatches and bare block_until_ready are not reliable through the
+    # relay (see BENCHMARKING.md measurement-hygiene note).
+    enc_outs = [enc_out * (1.0 + 1e-6 * i) for i in range(args.reps)]
+    jax.block_until_ready(enc_outs)
+
     def run(name, fn):
         # The scan-carried KV caches (2 x 25 MB at B=32) get staged in scoped
         # VMEM around the fused kernel; raise the budget (v5e: 128 MB total).
@@ -70,9 +76,9 @@ def main():
         jax.block_until_ready(out)
         log(f"{name} compile+first: {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
-        for _ in range(args.reps):
-            out = f(p, enc_out)
-        jax.block_until_ready(out)
+        for i in range(args.reps):
+            out = f(p, enc_outs[i])
+        float(out.ravel()[0])
         sec = (time.perf_counter() - t0) / args.reps
         row = {
             "metric": f"decode_rollout_{name}",
