@@ -1,10 +1,12 @@
-"""Decompose the greedy-eval step: encoder vs decode vs loss, and measure
-eval-step variants (XLA vs fused decode kernel, XLA vs Pallas-MLP encoder).
+"""Decompose the greedy-eval step: encoder vs decode vs loss, measured
+dispatch-overhead-free.
 
-Context: BENCH_FULL greedy_rollout_eval = 49.5 ms/batch32 (f32), while the
-isolated decode-only rollout is 18.3 ms (scripts/bench_decode_kernel.py) —
-the remainder is the encoder forward + vocab-head/loss work.  This script
-locates it and checks which combination is fastest end to end.
+Relay measurement hygiene (BENCHMARKING.md): per-dispatch overhead through
+the axon relay is ~20 ms and run-to-run variance of per-call loops is large,
+so every number here comes from an IN-PROGRAM ``lax.scan`` over k distinct
+batches — one dispatch per measurement — at two scan lengths, and the
+per-batch time is the difference quotient (k2 - k1 executions), which
+cancels both the dispatch overhead and any fixed program prologue.
 """
 
 import json
@@ -33,9 +35,10 @@ def main():
 
     from tpu_captioner.core.config import ModelConfig, TrainConfig
     from tpu_captioner.train.model import CaptionModel
-    from tpu_captioner.train.steps import make_eval_step
+    from tpu_captioner.train.steps import rollout_loss
 
     V, B = 9490, 32
+    K1, K2 = 3, 13
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     base_cfg = ModelConfig(decoder="transformer", vocab_size=V,
                            compute_dtype=dtype, use_pallas="off",
@@ -48,61 +51,87 @@ def main():
     tc = TrainConfig(batch_size=B)
     wid = {"<pad>": 0, "<unk>": V - 3, "<start>": V - 2, "<end>": V - 1}
     rng = np.random.default_rng(0)
-    batch = {
-        "images": jnp.asarray(rng.integers(0, 256, (B, 256, 256, 3), dtype=np.uint8)),
-        "captions": jnp.asarray(rng.integers(1, V - 3, (B, 52), dtype=np.int32)),
-        "caplens": jnp.asarray(rng.integers(8, 22, (B,), dtype=np.int32)),
-        "valid": jnp.ones((B,), dtype=bool),
-        "all_captions": jnp.zeros((B, 5, 52), jnp.int32),
-    }
+    base_images = jnp.asarray(
+        rng.integers(0, 256, (B, 256, 256, 3), dtype=np.uint8)
+    )
+    captions = jnp.asarray(rng.integers(1, V - 3, (B, 52), dtype=np.int32))
+    caplens = jnp.asarray(rng.integers(8, 22, (B,), dtype=np.int32))
+    valid = jnp.ones((B,), bool)
+    # Distinct per-iteration image batches, derived on-device (host->device
+    # transfers are lazy over the relay and must not pollute timing).
+    mk = jax.jit(lambda x, n: x[None] + jnp.arange(1, n + 1, dtype=jnp.uint8)[
+        :, None, None, None, None])
+    imgs_k2 = mk(base_images, K2)  # (K2, B, 256, 256, 3)
+    jax.block_until_ready(imgs_k2)
+    float(imgs_k2.ravel()[0].astype(jnp.float32))
 
-    # Distinct image batches per rep + a scalar fetch at the end (identical
-    # repeated dispatches / bare block_until_ready are unreliable through
-    # the relay — see BENCHMARKING.md measurement hygiene).  Derived
-    # ON-DEVICE: host->device transfers are lazy over the relay tunnel and
-    # would otherwise pollute the timed loop (~5 s/6 MB batch measured).
-    reps = 10
-    vary = jax.jit(lambda x, s: x + s)
-    image_list = [vary(batch["images"], np.uint8(i)) for i in range(reps)]
-    jax.block_until_ready(image_list)
-    for a in image_list:
-        float(a.ravel()[0].astype(jnp.float32))  # force materialization
+    def bench_scanned(name, scalar_fn, opts=None):
+        """scalar_fn: (params, images) -> f32 scalar.  Prints ms/batch."""
+        def scanned(k):
+            def run(p, imgs):
+                def body(c, im):
+                    return c + scalar_fn(p, im), None
+                return jax.lax.scan(body, jnp.float32(0), imgs[:k])[0]
+            return jax.jit(run, compiler_options=opts)
 
-    def bench(name, f, make_args):
+        f1, f2 = scanned(K1), scanned(K2)
         t0 = time.perf_counter()
-        out = f(*make_args(0))
-        jax.block_until_ready(out)
+        float(f1(params, imgs_k2))
+        float(f2(params, imgs_k2))
         log(f"{name} compile+first: {time.perf_counter() - t0:.1f}s")
-        t0 = time.perf_counter()
-        for i in range(reps):
-            out = f(*make_args(i))
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        float(leaf.ravel()[0])
-        sec = (time.perf_counter() - t0) / reps
-        print(json.dumps({"metric": name, "sec_per_batch32": round(sec, 5)}),
-              flush=True)
+        t1 = time.perf_counter()
+        float(f1(params, imgs_k2))
+        t1 = time.perf_counter() - t1
+        t2 = time.perf_counter()
+        float(f2(params, imgs_k2))
+        t2 = time.perf_counter() - t2
+        sec = (t2 - t1) / (K2 - K1)
+        print(json.dumps({
+            "metric": name,
+            "sec_per_batch32": round(sec, 5),
+            "k1_s": round(t1, 4), "k2_s": round(t2, 4),
+        }), flush=True)
         return sec
 
     # 1) encoder forward alone, XLA vs Pallas-MLP.
-    enc_xla = jax.jit(lambda p, im: model.encode(p, im, deterministic=True))
-    bench("encoder_fwd_xla", enc_xla, lambda i: (params, image_list[i]))
+    bench_scanned(
+        "encoder_fwd_xla",
+        lambda p, im: jnp.sum(model.encode(p, im, deterministic=True)),
+    )
     model_pl = CaptionModel(dataclasses.replace(base_cfg, use_pallas="on"))
-    enc_pl = jax.jit(lambda p, im: model_pl.encode(p, im, deterministic=True))
-    bench("encoder_fwd_pallas_mlp", enc_pl, lambda i: (params, image_list[i]))
+    bench_scanned(
+        "encoder_fwd_pallas_mlp",
+        lambda p, im: jnp.sum(model_pl.encode(p, im, deterministic=True)),
+    )
 
-    # 2) full eval step variants.
+    # 2) full eval-step variants (rollout_loss == make_eval_step's body).
+    kern_opts = {"xla_tpu_scoped_vmem_limit_kib": int(
+        os.environ.get("TPU_CAPTIONER_DECODE_VMEM_KIB", 102400))}
     variants = [
-        ("eval_xla_enc_xla_decode", "off", "off"),
-        ("eval_xla_enc_fused_decode", "off", "step"),
-        ("eval_pallas_enc_fused_decode", "on", "step"),
-        ("eval_xla_enc_mega_decode", "off", "mega"),
+        ("eval_xla_enc_xla_decode", "off", "off", None),
+        ("eval_xla_enc_fused_decode", "off", "step", kern_opts),
+        ("eval_pallas_enc_fused_decode", "on", "step", kern_opts),
+        ("eval_xla_enc_mega_decode", "off", "mega", kern_opts),
+        ("eval_pallas_enc_mega_decode", "on", "mega", kern_opts),
     ]
-    for name, enc_mode, dec_mode in variants:
+    for name, enc_mode, dec_mode, opts in variants:
         m = CaptionModel(dataclasses.replace(
             base_cfg, use_pallas=enc_mode, decode_kernel=dec_mode
         ))
-        step = make_eval_step(m, tc, wid)
-        bench(name, step, lambda i: (params, dict(batch, images=image_list[i])))
+
+        def eval_scalar(p, im, m=m):
+            batch = {"images": im, "captions": captions, "caplens": caplens,
+                     "valid": valid}
+            _, aux = rollout_loss(
+                m, p, batch, wid, tc.alpha_c, tc.max_decode_len,
+                rng=None, deterministic=True,
+            )
+            return aux["loss"] + aux["top5_correct"]
+
+        try:
+            bench_scanned(name, eval_scalar, opts)
+        except Exception as e:  # keep sweeping if one variant fails
+            log(f"{name} FAILED: {type(e).__name__}: {str(e)[:300]}")
 
 
 if __name__ == "__main__":

@@ -360,7 +360,7 @@ def _mega_kernel(
     fin = fin_scr[0]  # (R,) int32 (0/1)
     # Scheduled-sampling mix happens on the INPUT token (models/transformer.py
     # rollout body); masks precomputed on the host.
-    tok = jnp.where(use_teacher_ref[0] != 0, teacher_ref[0], tok)
+    tok = jnp.where(use_teacher_ref[0, 0] != 0, teacher_ref[0, 0], tok)
 
     # Embedding lookup as a one-hot matmul (MXU-friendly row gather), then
     # +PE at position s (deterministic mode: no dropout).
@@ -420,7 +420,7 @@ def _mega_kernel(
 
     act = fin == 0
     logits_out[0] = jnp.where(act[:, None], logits, 0.0).astype(logits_out.dtype)
-    seqs_out[0] = jnp.where(act, pred, 0)
+    seqs_out[0, 0] = jnp.where(act, pred, 0)
     alpha_out[0] = jnp.where(act[:, None], alpha_acc, 0.0)
     # Feedback carries the POST-mix token for frozen rows (rollout semantics).
     tok_scr[0] = jnp.where(act, pred, tok)
@@ -465,6 +465,10 @@ def fused_full_rollout(
     if teacher is None:
         teacher = jnp.zeros((steps, R), jnp.int32)
         use_teacher = jnp.zeros((steps, R), jnp.int32)
+    # (steps, R) -> (steps, 1, R): TPU block specs need the last two block
+    # dims divisible by (8, 128) or equal to the array dims.
+    teacher3 = teacher.astype(jnp.int32)[:, None, :]
+    use3 = use_teacher.astype(jnp.int32)[:, None, :]
     kernel = functools.partial(
         _mega_kernel,
         num_heads=num_heads,
@@ -484,14 +488,14 @@ def fused_full_rollout(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((steps, R, V), jnp.float32),
-            jax.ShapeDtypeStruct((steps, R), jnp.int32),
+            jax.ShapeDtypeStruct((steps, 1, R), jnp.int32),
             jax.ShapeDtypeStruct((steps, R, P), jnp.float32),
         ),
         grid=(steps,),
         in_specs=[
             const((1, R)),
-            pers((R,)),
-            pers((R,)),
+            pers((1, R)),
+            pers((1, R)),
             const(tuple(pe.shape)),
             *weight_specs,
             const((V, E)),
@@ -502,7 +506,7 @@ def fused_full_rollout(
         ],
         out_specs=(
             pers((R, V)),
-            pers((R,)),
+            pers((1, R)),
             pers((R, P)),
         ),
         scratch_shapes=[
@@ -516,13 +520,12 @@ def fused_full_rollout(
         ),
         interpret=interpret,
     )(
-        seed_tok, teacher.astype(jnp.int32),
-        (use_teacher if use_teacher is not None else jnp.zeros((steps, R))).astype(jnp.int32),
+        seed_tok, teacher3, use3,
         pe, *w, embedding, fc_w, fc_b[None], mem_k, mem_v,
     )
     return (
         jnp.swapaxes(logits, 0, 1),
-        jnp.swapaxes(seqs, 0, 1),
+        jnp.swapaxes(seqs[:, 0, :], 0, 1),
         jnp.swapaxes(alphas, 0, 1),
     )
 
