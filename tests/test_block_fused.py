@@ -37,6 +37,34 @@ def test_pallas_matches_reference():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
 
 
+def test_pallas_multi_tile_halo_matches_reference():
+    """H is split across row tiles (H=16, W=64 -> 2 tiles of 8); the 3-row
+    halo strips must reconstruct the exact 7x7 conv at tile seams and image
+    borders."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 11)
+    H2, W2 = 16, 64
+    x = jax.random.normal(ks[0], (B, H2, W2, C))
+    args = (x, jnp.array([1.0, 0.5]),
+            jax.random.normal(ks[1], (7, 7, C)) * 0.05,
+            0.1 * jax.random.normal(ks[2], (C,)),
+            1.0 + 0.1 * jax.random.normal(ks[3], (C,)),
+            0.1 * jax.random.normal(ks[4], (C,)),
+            jax.random.normal(ks[5], (C, 4 * C)) * 0.05,
+            0.1 * jax.random.normal(ks[6], (4 * C,)),
+            jax.random.normal(ks[7], (4 * C, C)) * 0.05,
+            0.1 * jax.random.normal(ks[8], (C,)),
+            0.5 * jax.random.normal(ks[9], (C,)))
+    from tpu_captioner.ops.block_fused import _pick_th
+
+    assert H2 // _pick_th(H2, W2) > 1  # really multi-tile
+    want = _reference_impl(*args)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_convnext_block(*args, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
+
+
 def test_vjp_matches_autodiff_of_reference():
     args = make_args()
     g = jax.random.normal(jax.random.PRNGKey(11), (B, H, W, C))

@@ -50,48 +50,83 @@ def _reference_impl(x, sd_scale, dw_w, dw_b, ln_scale, ln_bias, w1, b1, w2, b2, 
     return (x.astype(jnp.float32) + sd_scale[:, None, None, None] * y).astype(x.dtype)
 
 
-def _kernel(x_ref, sd_ref, dww_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
-            w2_ref, b2_ref, gamma_ref, o_ref, pad_ref, *, H, W, C):
-    # Depthwise 7x7 on a zero-padded VMEM scratch.
+def _kernel(x_ref, halo_ref, sd_ref, dww_ref, dwb_ref, lns_ref, lnb_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref, gamma_ref, o_ref, pad_ref,
+            *, TH, W, C, mxu_dtype):
+    # Depthwise 7x7 on a zero-padded VMEM scratch assembled from this H-tile
+    # plus its 3-row halos (precomputed strips; zeros at image borders).
     pad_ref[...] = jnp.zeros_like(pad_ref)
-    pad_ref[P : P + H, P : P + W, :] = x_ref[0]
-    t = jnp.zeros((H, W, C), jnp.float32)
+    pad_ref[P : P + TH, P : P + W, :] = x_ref[0]
+    pad_ref[0:P, P : P + W, :] = halo_ref[0, 0, 0:P]
+    pad_ref[P + TH : 2 * P + TH, P : P + W, :] = halo_ref[0, 0, P : 2 * P]
+    t = jnp.zeros((TH, W, C), jnp.float32)
     for dy in range(K):
         for dx in range(K):
             t += (
-                pad_ref[dy : dy + H, dx : dx + W, :].astype(jnp.float32)
+                pad_ref[dy : dy + TH, dx : dx + W, :].astype(jnp.float32)
                 * dww_ref[dy, dx, :].astype(jnp.float32)
             )
     t = t + dwb_ref[0]
-    rows = t.reshape(H * W, C)
+    rows = t.reshape(TH * W, C)
     sd = sd_ref[pl.program_id(0), 0]
     mu = jnp.mean(rows, axis=-1, keepdims=True)
     var = jnp.mean((rows - mu) ** 2, axis=-1, keepdims=True)
     tn = (rows - mu) * jax.lax.rsqrt(var + LN_EPS)
     tn = tn * lns_ref[0] + lnb_ref[0]
-    h = jnp.dot(tn, w1_ref[:].astype(jnp.float32),
+    h = jnp.dot(tn.astype(mxu_dtype), w1_ref[:].astype(mxu_dtype),
                 preferred_element_type=jnp.float32) + b1_ref[0]
     h = _gelu_kernel(h)
-    y = jnp.dot(h, w2_ref[:].astype(jnp.float32),
+    y = jnp.dot(h.astype(mxu_dtype), w2_ref[:].astype(mxu_dtype),
                 preferred_element_type=jnp.float32) + b2_ref[0]
-    y = (y * gamma_ref[0]).reshape(H, W, C)
+    y = (y * gamma_ref[0]).reshape(TH, W, C)
     out = x_ref[0].astype(jnp.float32) + sd * y
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _fused_pallas(x, sd_scale, dw_w, dw_b, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
+def _halo_strips(x: jnp.ndarray, th: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, nH, 6, W, C): rows [i*th-3, i*th) and
+    [i*th+th, i*th+th+3) per tile, zero-padded at the image borders.  Adds
+    only 6/th of one x-read of traffic versus a full padded copy."""
+    B, H, W, C = x.shape
+    nH = H // th
+    xp = jnp.pad(x, ((0, 0), (P, P), (0, 0), (0, 0)))
+    tops = [xp[:, i * th : i * th + P] for i in range(nH)]
+    bots = [xp[:, i * th + th + P : i * th + th + 2 * P] for i in range(nH)]
+    return jnp.concatenate(
+        [jnp.stack(tops, 1), jnp.stack(bots, 1)], axis=2
+    )
+
+
+def _pick_th(H: int, W: int) -> int:
+    # ~512 rows per tile (the mlp_block kernel's sweet spot), divisor of H.
+    th = max(8, 512 // max(W, 1))
+    while H % th:
+        th //= 2
+    return min(th, H)
+
+
+def _fused_pallas(x, sd_scale, dw_w, dw_b, ln_scale, ln_bias, w1, b1, w2, b2,
+                  gamma, mxu_dtype=jnp.float32):
     B, H, W, C = x.shape
     c4 = w1.shape[1]
-    kernel = functools.partial(_kernel, H=H, W=W, C=C)
+    th = _pick_th(H, W)
+    nH = H // th
+    halos = _halo_strips(x, th)
+    kernel = functools.partial(_kernel, TH=th, W=W, C=C, mxu_dtype=mxu_dtype)
     rep = lambda shape: pl.BlockSpec(
-        shape, lambda b: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        shape, lambda b, hh: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
+    est = 4 * (3 * th * W * C + th * W * c4 + 2 * C * c4)
+    vmem_cap = int(est * 1.6) if est > 14 * 1024 * 1024 else None
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
-        grid=(B,),
+        grid=(B, nH),
         in_specs=[
-            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, W, C), lambda b, hh: (b, hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * P, W, C), lambda b, hh: (b, hh, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             # Per-sample scalars: whole (B, 1) array in SMEM, indexed by
             # program_id (blocked SMEM specs still demand 8x128 tiles).
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -102,18 +137,15 @@ def _fused_pallas(x, sd_scale, dw_w, dw_b, ln_scale, ln_bias, w1, b1, w2, b2, ga
             rep((1, C)),
         ],
         out_specs=pl.BlockSpec(
-            (1, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, th, W, C), lambda b, hh: (b, hh, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((H + 2 * P, W + 2 * P, C), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((th + 2 * P, W + 2 * P, C), x.dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-            # Stage 1 (64x64x128) needs ~50 MB resident (image + halo scratch
-            # + (4096, 4C) MLP intermediate); the 16 MB default is for
-            # pipelined row-tile kernels.
-            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=vmem_cap,
         ),
     )(
-        x, sd_scale[:, None], dw_w, dw_b[None],
+        x, halos, sd_scale[:, None], dw_w, dw_b[None],
         ln_scale[None], ln_bias[None], w1, b1[None], w2, b2[None], gamma[None],
     )
 
