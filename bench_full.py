@@ -125,12 +125,10 @@ def main():
     jax.block_until_ready(image_list)
 
     # 2) Free-running greedy eval (51 cached decode steps).  The decode runs
-    # as the fused Pallas kernel ('auto' on TPU); the encoder stays XLA
-    # (the fused encoder kernel only wins in train-step programs,
-    # train/model.py).
+    # as the fused Pallas kernel and the encoder as the fused MLP-tail
+    # kernel ('auto' resolves both on TPU — the Trainer's eval policy).
     eval_model = CaptionModel(
-        ModelConfig(decoder="transformer", vocab_size=V, compute_dtype=dtype,
-                    use_pallas="off")
+        ModelConfig(decoder="transformer", vocab_size=V, compute_dtype=dtype)
     )
     eval_step = make_eval_step(eval_model, tc, wid)
     t0 = time.perf_counter()

@@ -44,7 +44,7 @@ def main():
 
     V, B = 9490, args.batch
     base = ModelConfig(decoder="transformer", vocab_size=V,
-                       compute_dtype=args.dtype, use_pallas="off")
+                       compute_dtype=args.dtype)  # 'auto' encoder kernel
     model_off = CaptionModel(dataclasses.replace(base, decode_kernel="off"))
     params = jax.jit(lambda k: model_off.init_params(k, image_size=256))(
         jax.random.PRNGKey(0)

@@ -59,9 +59,12 @@ def main():
     valid = jnp.ones((B,), bool)
     # Distinct per-iteration image batches, derived on-device (host->device
     # transfers are lazy over the relay and must not pollute timing).
-    mk = jax.jit(lambda x, n: x[None] + jnp.arange(1, n + 1, dtype=jnp.uint8)[
-        :, None, None, None, None])
-    imgs_k2 = mk(base_images, K2)  # (K2, B, 256, 256, 3)
+    mk = jax.jit(
+        lambda x: x[None] + jnp.arange(1, K2 + 1, dtype=jnp.uint8)[
+            :, None, None, None, None
+        ]
+    )
+    imgs_k2 = mk(base_images)  # (K2, B, 256, 256, 3)
     jax.block_until_ready(imgs_k2)
     float(imgs_k2.ravel()[0].astype(jnp.float32))
 
@@ -93,16 +96,27 @@ def main():
         }), flush=True)
         return sec
 
-    # 1) encoder forward alone, XLA vs Pallas-MLP.
-    bench_scanned(
-        "encoder_fwd_xla",
-        lambda p, im: jnp.sum(model.encode(p, im, deterministic=True)),
-    )
-    model_pl = CaptionModel(dataclasses.replace(base_cfg, use_pallas="on"))
-    bench_scanned(
-        "encoder_fwd_pallas_mlp",
-        lambda p, im: jnp.sum(model_pl.encode(p, im, deterministic=True)),
-    )
+    only = os.environ.get("BENCH_ONLY", "")
+
+    def want(name):
+        return only in name
+
+    # 1) encoder forward alone, XLA vs Pallas-MLP vs fused-block.
+    if want("encoder_fwd_xla"):
+        bench_scanned(
+            "encoder_fwd_xla",
+            lambda p, im: jnp.sum(model.encode(p, im, deterministic=True)),
+        )
+    for mode in ("on", "block"):
+        if not want(f"encoder_fwd_pallas_{mode}"):
+            continue
+        m_enc = CaptionModel(dataclasses.replace(base_cfg, use_pallas=mode))
+        bench_scanned(
+            f"encoder_fwd_pallas_{mode}",
+            lambda p, im, m_enc=m_enc: jnp.sum(
+                m_enc.encode(p, im, deterministic=True)
+            ),
+        )
 
     # 2) full eval-step variants (rollout_loss == make_eval_step's body).
     kern_opts = {"xla_tpu_scoped_vmem_limit_kib": int(
@@ -115,6 +129,8 @@ def main():
         ("eval_pallas_enc_mega_decode", "on", "mega", kern_opts),
     ]
     for name, enc_mode, dec_mode, opts in variants:
+        if not want(name):
+            continue
         m = CaptionModel(dataclasses.replace(
             base_cfg, use_pallas=enc_mode, decode_kernel=dec_mode
         ))

@@ -283,6 +283,8 @@ def test_trainer_finetune_model_runs_stage4_on_xla(dataset_dir, tmp_path):
     )
     tr = Trainer(exp, dataset_dir, BASE, verbose=False)
     assert tr.ft_model.encoder.pallas_mode == ("off", "off", "off", "off")
+    # Eval shares the train encoder-kernel policy ('auto' -> 'off' on CPU;
+    # 'mlp' on TPU — the fused encoder wins in eval programs too, r3).
     assert tr.eval_model.encoder.pallas_mode == "off"
 
     explicit = _dc.replace(tiny_model_cfg(0), use_pallas=("off", "off", "off", "off"))

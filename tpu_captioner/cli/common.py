@@ -58,6 +58,8 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="comma ints, e.g. 1,1,2,1")
     p.add_argument("--encoderDims", type=str, default=None,
                    help="comma ints, e.g. 16,24,32,48 (last = encoder_dim)")
+    p.add_argument("--encodedImageSize", type=int, default=None,
+                   help="adaptive-pool target (reference encoder.py:15 = 7)")
 
 
 def config_from_args(args) -> ExperimentConfig:
@@ -66,7 +68,7 @@ def config_from_args(args) -> ExperimentConfig:
     for arg, field_ in (
         ("embedDim", "embed_dim"), ("decoderDim", "decoder_dim"),
         ("numLayers", "num_layers"), ("numHeads", "num_heads"),
-        ("maxLen", "max_len"),
+        ("maxLen", "max_len"), ("encodedImageSize", "encoded_image_size"),
     ):
         v = getattr(args, arg, None)
         if v is not None:

@@ -367,7 +367,7 @@ def _mega_kernel(
     tok_col = tok.reshape(R, 1)
     v_ids = jax.lax.broadcasted_iota(jnp.int32, (R, V), 1)
     onehot = (v_ids == tok_col).astype(jnp.float32)
-    x = mm(onehot, emb_ref[:]) + pe_ref[pl.ds(s, 1), :]  # (R, E)
+    x = mm(onehot, emb_ref[:]) + pe_ref[0]  # (R, E) + (1, E)
 
     e_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 0)
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 1)
@@ -376,13 +376,22 @@ def _mega_kernel(
     keep = t_ids <= s
 
     alpha_acc = jnp.zeros((R, P), jnp.float32)
+    is_pos = t_ids == s
     for l in range(L):  # static unroll: weights are VMEM-resident
         qkv = mm(x, wqkv[l]) + bqkv[l]
         q = qkv[:, :E] * scale
-        ck_scr[l, :, pl.ds(s, 1), :] = qkv[:, None, E : 2 * E].astype(ck_scr.dtype)
-        cv_scr[l, :, pl.ds(s, 1), :] = qkv[:, None, 2 * E :].astype(cv_scr.dtype)
-        ck = ck_scr[l].astype(jnp.float32)  # (R, T, E); t > s is garbage,
-        cv = cv_scr[l].astype(jnp.float32)  # masked below
+        # where-based column insert (dynamic-offset stores into a 4D scratch
+        # don't lower on TPU); full-cache VMEM rewrite per layer is cheap.
+        ck = jnp.where(
+            is_pos, qkv[:, None, E : 2 * E],
+            ck_scr[l].astype(jnp.float32),
+        )
+        cv = jnp.where(
+            is_pos, qkv[:, None, 2 * E :],
+            cv_scr[l].astype(jnp.float32),
+        )
+        ck_scr[l] = ck.astype(ck_scr.dtype)
+        cv_scr[l] = cv.astype(cv_scr.dtype)
         prod = ck * q[:, None, :]
         scores = mm(prod.reshape(R * T, E), sel).reshape(R, T, H)
         scores = jnp.where(keep, scores, -1e30)
@@ -496,7 +505,7 @@ def fused_full_rollout(
             const((1, R)),
             pers((1, R)),
             pers((1, R)),
-            const(tuple(pe.shape)),
+            pers((1, E)),  # PE row for this step
             *weight_specs,
             const((V, E)),
             const((E, V)),
@@ -521,7 +530,8 @@ def fused_full_rollout(
         interpret=interpret,
     )(
         seed_tok, teacher3, use3,
-        pe, *w, embedding, fc_w, fc_b[None], mem_k, mem_v,
+        pe[:steps, None, :].astype(jnp.float32),
+        *w, embedding, fc_w, fc_b[None], mem_k, mem_v,
     )
     return (
         jnp.swapaxes(logits, 0, 1),

@@ -98,12 +98,15 @@ class Trainer:
         self.word_ids = special_ids(self.word_map)
         exp.model.vocab_size = len(self.word_map)
         self.model = CaptionModel(exp.model)
-        # Eval/rollout runs with the plain-XLA encoder: the fused Pallas
-        # kernel only wins in train-step programs (see train/model.py); the
-        # parameter tree is identical, so params are shared.
+        # Eval/rollout shares the train model's encoder-kernel policy: under
+        # dispatch-overhead-free measurement the fused Pallas encoder wins in
+        # eval programs too (28.9 -> 18.3 ms fwd at bs=32; the round-2 "XLA
+        # encoder for eval" rule was a relay measurement artifact — see
+        # BENCHMARKING.md round 3).  The parameter tree is identical either
+        # way, so params are shared.
         import dataclasses as _dc
 
-        self.eval_model = CaptionModel(_dc.replace(exp.model, use_pallas="off"))
+        self.eval_model = CaptionModel(exp.model)
         # Fine-tune steps use the per-stage kernel policy (stage 4 on XLA);
         # params are shared, explicit per-stage configs pass through.
         from tpu_captioner.train.model import finetune_use_pallas

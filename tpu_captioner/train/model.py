@@ -49,12 +49,11 @@ class CaptionModel:
         c = self.cfg
         dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
         # Pallas mode for the ConvNeXt blocks: 'auto' -> fused MLP-tail
-        # kernel on TPU for the transformer-decoder TRAIN path (39.1 -> 26.6
-        # ms/step measured on v5e), XLA elsewhere.  Measured caveat: in
-        # programs dominated by long sequential scans (greedy rollout, LSTM
-        # time loop) the per-kernel launch latency cannot hide behind other
-        # work and the fused kernel loses badly — the Trainer therefore uses
-        # a separate 'off' eval model (same param tree) for rollout/beam.
+        # kernel on TPU for transformer-decoder models (train: 39.1 -> 26.6
+        # ms/step; eval encoder fwd: 28.9 -> 18.3 ms at bs=32 under
+        # dispatch-free measurement — the round-2 belief that the kernel
+        # loses in rollout programs was a relay measurement artifact, see
+        # BENCHMARKING.md round 3), XLA elsewhere.
         # 'block' -> fully-fused block kernel; 'on' == 'mlp'; 'off' -> XLA.
         def resolve(mode):
             if mode == "auto":
