@@ -36,8 +36,7 @@ caption.py:151); here the best live beam is returned instead.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -330,7 +329,34 @@ _ADAPTERS = {
 }
 
 
-@partial(jax.jit, static_argnames=("model", "beam_size", "max_steps", "start_id", "end_id"))
+def _beam_compiler_options(model):
+    """Raise the scoped-VMEM budget when the fused decode-step kernel runs
+    inside the beam while_loop (same rationale as make_eval_step,
+    train/steps.py:295-305 — XLA stages the loop-carried KV caches and the
+    kernel's per-grid-cell operands in scoped VMEM; the 16 MB default OOMs
+    at beam row counts)."""
+    if model.cfg.decoder in ("transformer", "transformer_attvis") and (
+        model._use_decode_kernel()
+    ):
+        import os
+
+        limit = int(os.environ.get("TPU_CAPTIONER_DECODE_VMEM_KIB", 102400))
+        return (("xla_tpu_scoped_vmem_limit_kib", limit),)
+    return None
+
+
+_STATIC = ("model", "beam_size", "max_steps", "start_id", "end_id")
+
+
+@lru_cache(maxsize=None)
+def _jitted_beam(impl, opts):
+    return jax.jit(
+        impl,
+        static_argnames=_STATIC,
+        compiler_options=dict(opts) if opts else None,
+    )
+
+
 def beam_search(
     model,  # CaptionModel (hashable static: dataclass of config)
     params,
@@ -342,6 +368,16 @@ def beam_search(
     end_id: int,
 ) -> BeamResult:
     """Single-image beam-search captioning (caption.py entry semantics)."""
+    return _jitted_beam(_beam_search_impl, _beam_compiler_options(model))(
+        model, params, image_u8,
+        beam_size=beam_size, max_steps=max_steps,
+        start_id=start_id, end_id=end_id,
+    )
+
+
+def _beam_search_impl(
+    model, params, image_u8, *, beam_size, max_steps, start_id, end_id
+):
     enc_out = model.encode(params, image_u8[None], deterministic=True)
     return beam_search_encoded(
         model, params, enc_out,
@@ -388,7 +424,6 @@ def _beam_batched(model, params, enc_out, *, beam_size, max_steps, start_id, end
     )
 
 
-@partial(jax.jit, static_argnames=("model", "beam_size", "max_steps", "start_id", "end_id"))
 def beam_search_batch(
     model,
     params,
@@ -402,6 +437,18 @@ def beam_search_batch(
     """Batched beam search: ONE encoder pass + one batched beam loop — the
     throughput path for captions/sec benchmarking (the reference is strictly
     one image per Python call, caption.py:433-)."""
+    return _jitted_beam(
+        _beam_search_batch_impl, _beam_compiler_options(model)
+    )(
+        model, params, images_u8,
+        beam_size=beam_size, max_steps=max_steps,
+        start_id=start_id, end_id=end_id,
+    )
+
+
+def _beam_search_batch_impl(
+    model, params, images_u8, *, beam_size, max_steps, start_id, end_id
+):
     enc_out = model.encode(params, images_u8, deterministic=True)
     return _beam_batched(
         model, params, enc_out,
