@@ -335,8 +335,10 @@ def _beam_compiler_options(model):
     train/steps.py:295-305 — XLA stages the loop-carried KV caches and the
     kernel's per-grid-cell operands in scoped VMEM; the 16 MB default OOMs
     at beam row counts)."""
+    from tpu_captioner.core.backend import on_tpu
+
     if model.cfg.decoder in ("transformer", "transformer_attvis") and (
-        model._use_decode_kernel()
+        model._use_decode_kernel() and on_tpu()
     ):
         import os
 

@@ -381,13 +381,15 @@ def _mega_kernel(
         qkv = mm(x, wqkv[l]) + bqkv[l]
         q = qkv[:, :E] * scale
         # where-based column insert (dynamic-offset stores into a 4D scratch
-        # don't lower on TPU); full-cache VMEM rewrite per layer is cheap.
+        # don't lower on TPU).  Slice-then-expand: `qkv[:, None, a:b]` traces
+        # to a `gather` (no Mosaic lowering); `qkv[:, a:b][:, None]` is a
+        # static lax.slice.  Full-cache VMEM rewrite per layer is cheap.
         ck = jnp.where(
-            is_pos, qkv[:, None, E : 2 * E],
+            is_pos, qkv[:, E : 2 * E][:, None, :],
             ck_scr[l].astype(jnp.float32),
         )
         cv = jnp.where(
-            is_pos, qkv[:, None, 2 * E :],
+            is_pos, qkv[:, 2 * E :][:, None, :],
             cv_scr[l].astype(jnp.float32),
         )
         ck_scr[l] = ck.astype(ck_scr.dtype)
@@ -428,9 +430,12 @@ def _mega_kernel(
     ).astype(jnp.int32)  # (R,)
 
     act = fin == 0
-    logits_out[0] = jnp.where(act[:, None], logits, 0.0).astype(logits_out.dtype)
+    # 2D mask built from a 32-bit reshape: Mosaic can't reshape i1 vectors
+    # ((R,) -> (R,1) "insertion of minor dim" is 32-bit-only).
+    act_col = fin.reshape(R, 1) == 0
+    logits_out[0] = jnp.where(act_col, logits, 0.0).astype(logits_out.dtype)
     seqs_out[0, 0] = jnp.where(act, pred, 0)
-    alpha_out[0] = jnp.where(act[:, None], alpha_acc, 0.0)
+    alpha_out[0] = jnp.where(act_col, alpha_acc, 0.0)
     # Feedback carries the POST-mix token for frozen rows (rollout semantics).
     tok_scr[0] = jnp.where(act, pred, tok)
     fin_scr[0] = jnp.where(act & (pred == end_id), 1, fin)

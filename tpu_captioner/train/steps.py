@@ -295,9 +295,11 @@ def make_eval_step(
     # The fused decode-step kernel's scan-carried KV caches (2 x ~25 MB at
     # B=32) are staged in scoped VMEM by XLA; the default 16 MB budget OOMs.
     # Raise it for this program (v5e has 128 MB VMEM).
+    from tpu_captioner.core.backend import on_tpu
+
     compiler_options = None
     if model.cfg.decoder in ("transformer", "transformer_attvis") and (
-        model._use_decode_kernel()
+        model._use_decode_kernel() and on_tpu()
     ):
         import os
 
