@@ -354,6 +354,7 @@ class TransformerDecoder:
         interpret: bool = False,
         precise: bool = None,
         storage_dtype=None,
+        weights_resident: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
         """``rollout`` as ONE Pallas launch for the whole generation
         (ops/decode_step.py fused_full_rollout): vocab head, argmax, token
@@ -402,6 +403,7 @@ class TransformerDecoder:
             mem_k, mem_v, start_id, end_id, max_decode_len, c.num_heads,
             teacher=teacher, use_teacher=use_teacher,
             interpret=interpret, precise=precise,
+            weights_resident=weights_resident,
         )
         return logits, seqs, alphas if self.capture_alphas else None
 

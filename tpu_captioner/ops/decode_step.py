@@ -329,17 +329,36 @@ def _mega_kernel(
     wf1, bf1, wf2, bf2, ln1s, ln1b, ln2s, ln2b, ln3s, ln3b,
     emb_ref, fcw_ref, fcb_ref, memk, memv,
     logits_out, seqs_out, alpha_out,
-    ck_scr, cv_scr, tok_scr, fin_scr,
+    x_scr, alpha_scr, ck_scr, cv_scr, tok_scr, fin_scr,
     *, num_heads: int, num_layers: int, end_id: int, mxu_dtype,
+    weights_resident: bool,
 ):
+    # Grid (steps, L+1): cell (s, l<L) runs decoder layer l for token s
+    # (cell 0 additionally embeds the fed-back token), cell (s, L) runs the
+    # vocab head + argmax + feedback epilogue.  One grid cell per layer keeps
+    # the Mosaic kernel body ~L+1x smaller than a static layer unroll (the
+    # unrolled form OOM-killed the TPU compiler at flagship size).  The
+    # hidden state, attention-map accumulator, KV caches and token/finished
+    # flags all persist in VMEM scratch across cells (sequential grid).
     s = pl.program_id(0)
+    l = pl.program_id(1)
     L = num_layers
-    R, P, E = memk.shape[1], memk.shape[2], memk.shape[3]
+    R, P, E = memk.shape[-3], memk.shape[-2], memk.shape[-1]
     T = ck_scr.shape[2]
     V = fcw_ref.shape[1]
     H = num_heads
     dh = E // H
     scale = 1.0 / math.sqrt(dh)
+    li = jnp.minimum(l, L - 1)  # clamp for the epilogue cell's index maps
+
+    if weights_resident:
+        # Whole (L, ...) arrays live in VMEM; dynamic-slice layer l out.
+        def wload(ref):
+            return ref[pl.ds(li, 1)][0]
+    else:
+        # Per-layer (1, ...) blocks streamed by the index maps.
+        def wload(ref):
+            return ref[0]
 
     def mm(a, b):
         return jnp.dot(
@@ -347,7 +366,7 @@ def _mega_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(s == 0)
+    @pl.when((s == 0) & (l == 0))
     def _():
         tok_scr[:] = seed_tok_ref[:]
         fin_scr[:] = jnp.zeros_like(fin_scr)
@@ -356,44 +375,50 @@ def _mega_kernel(
         ck_scr[:] = jnp.zeros_like(ck_scr)
         cv_scr[:] = jnp.zeros_like(cv_scr)
 
-    tok = tok_scr[0]  # (R,) int32
-    fin = fin_scr[0]  # (R,) int32 (0/1)
-    # Scheduled-sampling mix happens on the INPUT token (models/transformer.py
-    # rollout body); masks precomputed on the host.
-    tok = jnp.where(use_teacher_ref[0, 0] != 0, teacher_ref[0, 0], tok)
-
-    # Embedding lookup as a one-hot matmul (MXU-friendly row gather), then
-    # +PE at position s (deterministic mode: no dropout).
-    tok_col = tok.reshape(R, 1)
     v_ids = jax.lax.broadcasted_iota(jnp.int32, (R, V), 1)
-    onehot = (v_ids == tok_col).astype(jnp.float32)
-    x = mm(onehot, emb_ref[:]) + pe_ref[0]  # (R, E) + (1, E)
 
-    e_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 0)
-    h_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 1)
-    sel = ((e_ids // dh) == h_ids).astype(jnp.float32)
+    @pl.when(l == 0)
+    def _():
+        tok = tok_scr[0]  # (R,) int32
+        # Scheduled-sampling mix happens on the INPUT token
+        # (models/transformer.py rollout body); masks precomputed on host.
+        tok = jnp.where(use_teacher_ref[0, 0] != 0, teacher_ref[0, 0], tok)
+        # Store the POST-mix token: the epilogue's feedback keeps it for
+        # frozen rows (rollout semantics).
+        tok_scr[0] = tok
+        # Embedding lookup as a one-hot matmul (MXU-friendly row gather),
+        # then +PE at position s (deterministic mode: no dropout).
+        tok_col = tok.reshape(R, 1)
+        onehot = (v_ids == tok_col).astype(jnp.float32)
+        x_scr[:] = mm(onehot, emb_ref[:]) + pe_ref[0]  # (R, E) + (1, E)
+        alpha_scr[:] = jnp.zeros_like(alpha_scr)
+
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1)
-    keep = t_ids <= s
 
-    alpha_acc = jnp.zeros((R, P), jnp.float32)
-    is_pos = t_ids == s
-    for l in range(L):  # static unroll: weights are VMEM-resident
-        qkv = mm(x, wqkv[l]) + bqkv[l]
+    @pl.when(l < L)
+    def _():
+        e_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 0)
+        h_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 1)
+        sel = ((e_ids // dh) == h_ids).astype(jnp.float32)
+        keep = t_ids <= s
+        is_pos = t_ids == s
+        x = x_scr[:]
+        qkv = mm(x, wload(wqkv)) + wload(bqkv)
         q = qkv[:, :E] * scale
-        # where-based column insert (dynamic-offset stores into a 4D scratch
-        # don't lower on TPU).  Slice-then-expand: `qkv[:, None, a:b]` traces
-        # to a `gather` (no Mosaic lowering); `qkv[:, a:b][:, None]` is a
-        # static lax.slice.  Full-cache VMEM rewrite per layer is cheap.
+        # where-based column insert (dynamic-offset stores into the T dim of
+        # a 4D scratch don't lower on TPU).  Slice-then-expand: `qkv[:, None,
+        # a:b]` traces to a `gather` (no Mosaic lowering); `qkv[:, a:b][:,
+        # None]` is a static lax.slice.  Full-cache VMEM rewrite is cheap.
         ck = jnp.where(
             is_pos, qkv[:, E : 2 * E][:, None, :],
-            ck_scr[l].astype(jnp.float32),
+            ck_scr[pl.ds(li, 1)][0].astype(jnp.float32),
         )
         cv = jnp.where(
             is_pos, qkv[:, 2 * E :][:, None, :],
-            cv_scr[l].astype(jnp.float32),
+            cv_scr[pl.ds(li, 1)][0].astype(jnp.float32),
         )
-        ck_scr[l] = ck.astype(ck_scr.dtype)
-        cv_scr[l] = cv.astype(cv_scr.dtype)
+        ck_scr[pl.ds(li, 1)] = ck[None].astype(ck_scr.dtype)
+        cv_scr[pl.ds(li, 1)] = cv[None].astype(cv_scr.dtype)
         prod = ck * q[:, None, :]
         scores = mm(prod.reshape(R * T, E), sel).reshape(R, T, H)
         scores = jnp.where(keep, scores, -1e30)
@@ -402,43 +427,48 @@ def _mega_kernel(
         probs = num / jnp.sum(num, axis=1, keepdims=True)
         pe_b = mm(probs.reshape(R * T, H), sel.T).reshape(R, T, E)
         ctx = jnp.sum(cv * pe_b, axis=1)
-        sa = mm(ctx, wso[l]) + bso[l]
-        x = _ln(x + sa, ln1s[l], ln1b[l])
+        sa = mm(ctx, wload(wso)) + wload(bso)
+        x = _ln(x + sa, wload(ln1s), wload(ln1b))
 
-        q2 = (mm(x, wcq[l]) + bcq[l]) * scale
-        mk = memk[l].astype(jnp.float32)
+        q2 = (mm(x, wload(wcq)) + wload(bcq)) * scale
+        mk = wload(memk).astype(jnp.float32)
         prod2 = mk * q2[:, None, :]
         scores2 = mm(prod2.reshape(R * P, E), sel).reshape(R, P, H)
         mx2 = jnp.max(scores2, axis=1, keepdims=True)
         num2 = jnp.exp(scores2 - mx2)
         probs2 = num2 / jnp.sum(num2, axis=1, keepdims=True)
         pe2 = mm(probs2.reshape(R * P, H), sel.T).reshape(R, P, E)
-        ctx2 = jnp.sum(memv[l].astype(jnp.float32) * pe2, axis=1)
-        ca = mm(ctx2, wco[l]) + bco[l]
-        alpha_acc = alpha_acc + jnp.mean(probs2, axis=2) / L
-        x = _ln(x + ca, ln2s[l], ln2b[l])
+        ctx2 = jnp.sum(wload(memv).astype(jnp.float32) * pe2, axis=1)
+        ca = mm(ctx2, wload(wco)) + wload(bco)
+        alpha_scr[:] = alpha_scr[:] + jnp.mean(probs2, axis=2) / L
+        x = _ln(x + ca, wload(ln2s), wload(ln2b))
 
-        h = jnp.maximum(mm(x, wf1[l]) + bf1[l], 0.0)
-        ff = mm(h, wf2[l]) + bf2[l]
-        x = _ln(x + ff, ln3s[l], ln3b[l])
+        h = jnp.maximum(mm(x, wload(wf1)) + wload(bf1), 0.0)
+        ff = mm(h, wload(wf2)) + wload(bf2)
+        x_scr[:] = _ln(x + ff, wload(ln3s), wload(ln3b))
 
-    # Vocab head + greedy argmax (first-max-index, matching jnp.argmax).
-    logits = mm(x, fcw_ref[:]) + fcb_ref[0]  # (R, V) f32
-    mxl = jnp.max(logits, axis=1, keepdims=True)
-    pred = jnp.min(
-        jnp.where(logits == mxl, v_ids, V), axis=1
-    ).astype(jnp.int32)  # (R,)
+    @pl.when(l == L)
+    def _():
+        # Vocab head + greedy argmax (first-max-index, matching jnp.argmax).
+        x = x_scr[:]
+        logits = mm(x, fcw_ref[:]) + fcb_ref[0]  # (R, V) f32
+        mxl = jnp.max(logits, axis=1, keepdims=True)
+        pred = jnp.min(
+            jnp.where(logits == mxl, v_ids, V), axis=1
+        ).astype(jnp.int32)  # (R,)
 
-    act = fin == 0
-    # 2D mask built from a 32-bit reshape: Mosaic can't reshape i1 vectors
-    # ((R,) -> (R,1) "insertion of minor dim" is 32-bit-only).
-    act_col = fin.reshape(R, 1) == 0
-    logits_out[0] = jnp.where(act_col, logits, 0.0).astype(logits_out.dtype)
-    seqs_out[0, 0] = jnp.where(act, pred, 0)
-    alpha_out[0] = jnp.where(act_col, alpha_acc, 0.0)
-    # Feedback carries the POST-mix token for frozen rows (rollout semantics).
-    tok_scr[0] = jnp.where(act, pred, tok)
-    fin_scr[0] = jnp.where(act & (pred == end_id), 1, fin)
+        tok = tok_scr[0]  # post-mix input token (see l==0 cell)
+        fin = fin_scr[0]  # (R,) int32 (0/1)
+        act = fin == 0
+        # 2D mask built from a 32-bit reshape: Mosaic can't reshape i1
+        # vectors ((R,) -> (R,1) "insertion of minor dim" is 32-bit-only).
+        act_col = fin.reshape(R, 1) == 0
+        logits_out[0] = jnp.where(act_col, logits, 0.0).astype(logits_out.dtype)
+        seqs_out[0, 0] = jnp.where(act, pred, 0)
+        alpha_out[0] = jnp.where(act_col, alpha_scr[:], 0.0)
+        # Feedback carries the POST-mix token for frozen rows.
+        tok_scr[0] = jnp.where(act, pred, tok)
+        fin_scr[0] = jnp.where(act & (pred == end_id), 1, fin)
 
 
 def fused_full_rollout(
@@ -458,14 +488,20 @@ def fused_full_rollout(
     use_teacher: jnp.ndarray = None,  # (steps, R) bool/int32
     interpret: bool = False,
     precise: bool = None,
+    weights_resident: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """ENTIRE greedy rollout — vocab head, argmax, token feedback, one-hot
     embedding lookup and all ``steps`` KV-cached decode steps — as ONE Pallas
-    launch.  Weights, embedding/vocab tables, and cross K/V stay VMEM-
-    resident for the whole generation; the self-attention caches never exist
-    outside VMEM scratch.  Deterministic mode only (eval/test/caption).
-    Pass bf16 weight/memory arrays to fit the flagship in VMEM (~93 MB);
-    f32 compute throughout, matmuls per ``precise`` (see fused_decode_step).
+    launch over a (steps, L+1) grid (one decoder layer per cell + a vocab-
+    head epilogue cell; a statically unrolled body OOM-killed the compiler).
+    With ``weights_resident`` the layer weights, embedding/vocab tables and
+    cross K/V live in VMEM for the whole generation — per-token HBM traffic
+    is just the logits/seqs/alphas writes; otherwise the layer weights and
+    cross K/V stream per (step, layer).  The self-attention caches never
+    exist outside VMEM scratch either way.  Deterministic mode only
+    (eval/test/caption).  Pass bf16 weight/memory arrays to fit the flagship
+    in VMEM; f32 compute throughout, matmuls per ``precise`` (see
+    fused_decode_step).
 
     Returns (logits (R, steps, V) f32, seqs (R, steps) i32, alphas
     (R, steps, P) f32) with rows finished earlier zeroed — identical
@@ -489,15 +525,29 @@ def fused_full_rollout(
         num_layers=L,
         end_id=end_id,
         mxu_dtype=jnp.float32 if precise else jnp.bfloat16,
+        weights_resident=weights_resident,
     )
     seed_tok = jnp.full((1, R), start_id, jnp.int32)
     const = lambda shape: pl.BlockSpec(
-        shape, lambda s: (0,) * len(shape), memory_space=pltpu.VMEM
+        shape, lambda s, l: (0,) * len(shape), memory_space=pltpu.VMEM
     )
     pers = lambda shape: pl.BlockSpec(
-        (1,) + shape, lambda s: (s,) + (0,) * len(shape), memory_space=pltpu.VMEM
+        (1,) + shape, lambda s, l: (s,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
     )
-    weight_specs = [const(tuple(a.shape)) for a in w]
+    if weights_resident:
+        weight_specs = [const(tuple(a.shape)) for a in w]
+        mem_spec = const((L, R, P, E))
+    else:
+        # Stream layer l's slice per cell; the epilogue cell clamps to L-1
+        # (same block as the last layer -> no extra fetch).
+        perl = lambda shape: pl.BlockSpec(
+            (1,) + shape,
+            lambda s, l: (jnp.minimum(l, L - 1),) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+        weight_specs = [perl(tuple(a.shape[1:])) for a in w]
+        mem_spec = perl((R, P, E))
     logits, seqs, alphas = pl.pallas_call(
         kernel,
         out_shape=(
@@ -505,7 +555,7 @@ def fused_full_rollout(
             jax.ShapeDtypeStruct((steps, 1, R), jnp.int32),
             jax.ShapeDtypeStruct((steps, R, P), jnp.float32),
         ),
-        grid=(steps,),
+        grid=(steps, L + 1),
         in_specs=[
             const((1, R)),
             pers((1, R)),
@@ -515,8 +565,8 @@ def fused_full_rollout(
             const((V, E)),
             const((E, V)),
             const((1, V)),
-            const((L, R, P, E)),
-            const((L, R, P, E)),
+            mem_spec,
+            mem_spec,
         ],
         out_specs=(
             pers((R, V)),
@@ -524,13 +574,15 @@ def fused_full_rollout(
             pers((R, P)),
         ),
         scratch_shapes=[
+            pltpu.VMEM((R, E), jnp.float32),  # hidden-state carry
+            pltpu.VMEM((R, P), jnp.float32),  # attention-map accumulator
             pltpu.VMEM((L, R, T, E), mem_k.dtype),  # self-attn K cache
             pltpu.VMEM((L, R, T, E), mem_k.dtype),  # self-attn V cache
             pltpu.VMEM((1, R), jnp.int32),  # current token
             pltpu.VMEM((1, R), jnp.int32),  # finished flags
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(

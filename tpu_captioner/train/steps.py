@@ -249,7 +249,7 @@ def make_train_step(
     from tpu_captioner.core.backend import on_tpu
 
     compiler_options = None
-    if train_encoder and on_tpu():
+    if on_tpu():
         pm = getattr(model.encoder, "pallas_mode", "off")
         uses_pallas = any(m != "off" for m in pm) if isinstance(
             pm, (tuple, list)
@@ -257,8 +257,25 @@ def make_train_step(
         if uses_pallas:
             import os
 
-            limit = int(os.environ.get("TPU_CAPTIONER_SCOPED_VMEM_KIB", 65536))
-            compiler_options = {"xla_tpu_scoped_vmem_limit_kib": limit}
+            # The FROZEN step needs this too: XLA places the forward
+            # kernels' (B*H*W, C) outputs on the scoped-VMEM stack, and at
+            # bs>32 they outgrow the ~46 MB default, flipping XLA into a
+            # pathologically slow placement (27 ms @ bs=32 vs 732 ms @
+            # bs=64 — BENCHMARKING.md "Batch-size scaling, root-caused").
+            # Sweep-tuned defaults: fine-tune keeps the round-2 64 MB (its
+            # backward stages stack more and a larger budget grows what XLA
+            # stages); frozen keeps XLA's own default at bs<=32 (raising it
+            # costs up to 10% there) and takes 96 MB above (bs=64 is
+            # 732 ms default / 95 ms @ 64 MB / 62 ms @ 96 MB).
+            if train_encoder:
+                default = 65536
+            elif cfg.batch_size <= 32:
+                default = 0  # 0 = keep XLA's default budget
+            else:
+                default = 98304
+            limit = int(os.environ.get("TPU_CAPTIONER_SCOPED_VMEM_KIB", default))
+            if limit > 0:
+                compiler_options = {"xla_tpu_scoped_vmem_limit_kib": limit}
 
     repl, data_sh = _shardings(mesh)
     if mesh is None:
