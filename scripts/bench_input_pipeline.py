@@ -60,31 +60,37 @@ def main():
         data=DataConfig(batch_size=32, image_size=256),
         model=ModelConfig(decoder="transformer"),
         train=TrainConfig(
-            epochs=1, batch_size=32, print_freq=50,
+            epochs=2, batch_size=32, print_freq=50,
             checkpoint_dir="/tmp/pipe_ckpt", results_dir="/tmp/pipe_results",
         ),
     )
     tr = Trainer(exp, workdir, base, verbose=True)
     log(f"vocab={len(tr.word_map)}; {len(tr.train_loader)} batches/epoch")
-    t0 = time.time()
-    out = tr.train_epoch(0)
-    wall = time.time() - t0
     n = len(tr.train_loader)
-    row = {
-        "n_batches": n,
-        "trainBatchTime": round(out["batch_time"], 5),
-        "trainDataTime": round(out["data_time"], 5),
-        "data_over_batch": round(out["data_time"] / out["batch_time"], 4),
-        "epoch_wall_s": round(wall, 1),
-        "images_per_sec": round(32 * n / wall, 1),
-        "pass_lt_20pct": out["data_time"] / out["batch_time"] < 0.20,
-    }
-    print(json.dumps(row), flush=True)
+    rows = []
+    # Epoch 0 pays the compile (~90 s through the relay) inside batch 1 and
+    # dominates its averages; epoch 1 is the sustained steady-state claim.
+    for ep in range(2):
+        t0 = time.time()
+        out = tr.train_epoch(ep)
+        wall = time.time() - t0
+        rows.append({
+            "epoch": ep,
+            "n_batches": n,
+            "trainBatchTime": round(out["batch_time"], 5),
+            "trainDataTime": round(out["data_time"], 5),
+            "data_over_batch": round(out["data_time"] / out["batch_time"], 4),
+            "epoch_wall_s": round(wall, 1),
+            "images_per_sec": round(32 * n / wall, 1),
+            "pass_lt_20pct": out["data_time"] / out["batch_time"] < 0.20,
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    row = rows[-1]
     outdir = os.path.join(REPO, "artifacts", "input_pipeline")
     os.makedirs(outdir, exist_ok=True)
     import pandas as pd
 
-    pd.DataFrame([row]).to_csv(os.path.join(outdir, "epoch.csv"), index=False)
+    pd.DataFrame(rows).to_csv(os.path.join(outdir, "epoch.csv"), index=False)
     log("wrote artifacts/input_pipeline/epoch.csv")
 
 
