@@ -16,6 +16,7 @@ from tpu_captioner.core.config import ModelConfig
 from tpu_captioner.models.layers import linear
 from tpu_captioner.models.transformer import TransformerDecoder
 from tpu_captioner.ops.decode_step import (
+    apply_cache_update,
     fused_decode_step,
     merge_cache_heads,
     prepare_cross_memory,
@@ -77,10 +78,11 @@ def test_single_and_multi_step_parity(setup):
             p, toks, jnp.int32(pos), cache, memory, deterministic=True
         )
         x = dec._embed(p, toks[:, None], jnp.int32(pos)[None], None, True)[:, 0, :]
-        x_out, alpha, ck, cv = fused_decode_step(
+        x_out, alpha, k_new, v_new = fused_decode_step(
             kw, x, jnp.int32(pos), ck, cv, mem_k, mem_v, cfg.num_heads,
             interpret=True,
         )
+        ck, cv = apply_cache_update(ck, cv, k_new, v_new, jnp.int32(pos))
         logits = linear(p["fc_out"], x_out)
         np.testing.assert_allclose(logits, logits_ref, rtol=2e-5, atol=2e-5)
         np.testing.assert_allclose(alpha, alpha_ref, rtol=2e-5, atol=2e-6)
@@ -114,6 +116,32 @@ def test_row_tiled_grid_matches_single_tile(setup):
     )
     for a, b in zip(got, ref):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_layers_per_cell_matches_per_layer_grid(setup):
+    """Packing multiple layers into one grid cell (layers_per_cell) must be
+    a pure scheduling change — identical outputs to the one-layer-per-cell
+    grid, including combined with row tiling."""
+    cfg, dec, p, enc_out = setup
+    B, T = 4, 6
+    mem = dec._project_memory(p, enc_out)
+    kw = prepare_decode_weights(p["layers"], cfg.embed_dim)
+    mem_k, mem_v = prepare_cross_memory(p["layers"], mem, cfg.embed_dim)
+    ck = jnp.zeros((cfg.num_layers, B, T, cfg.embed_dim))
+    cv = jnp.zeros_like(ck)
+    toks = jnp.asarray([3, 9, 1, 7], jnp.int32)
+    x = dec._embed(p, toks[:, None], jnp.int32(0)[None], None, True)[:, 0, :]
+    ref = fused_decode_step(
+        kw, x, jnp.int32(0), ck, cv, mem_k, mem_v, cfg.num_heads,
+        interpret=True, layers_per_cell=1,
+    )
+    for lpc, rt in ((cfg.num_layers, None), (cfg.num_layers, 3)):
+        got = fused_decode_step(
+            kw, x, jnp.int32(0), ck, cv, mem_k, mem_v, cfg.num_heads,
+            interpret=True, layers_per_cell=lpc, row_tile=rt,
+        )
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
 def test_cache_layout_roundtrip(setup):

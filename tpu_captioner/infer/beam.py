@@ -276,6 +276,8 @@ def _transformer_beam_fused(model, params, enc_out, beam_size, max_steps, start_
     enabled.  Identical math to ``_transformer_beam``; equality asserted in
     tests/test_decode_kernel.py."""
     from tpu_captioner.ops.decode_step import (
+        apply_cache_update,
+        cast_weight_matrices,
         fused_decode_step,
         prepare_cross_memory,
         prepare_decode_weights,
@@ -291,21 +293,26 @@ def _transformer_beam_fused(model, params, enc_out, beam_size, max_steps, start_
     mem = jnp.repeat(mem, k, axis=0)  # (B*k, P, E)
     kw = prepare_decode_weights(p["layers"], E)
     mem_k, mem_v = prepare_cross_memory(p["layers"], mem, E)
-    dt = mem.dtype
+    interpret = jax.default_backend() == "cpu"
+    # bf16 streamed operands in the kernel's bf16-MXU mode (see
+    # TransformerDecoder.fused_rollout); f32 in interpret/parity mode.
+    dt = mem.dtype if interpret else jnp.bfloat16
+    kw = cast_weight_matrices(kw, dt)
+    mem_k, mem_v = mem_k.astype(dt), mem_v.astype(dt)
     T = max_steps + 2
     ck0 = jnp.zeros((c.num_layers, B * k, T, E), dt)
     cv0 = jnp.zeros_like(ck0)
-    interpret = jax.default_backend() == "cpu"
 
     def step_fn(state, prev_words, pos):
         ck, cv = state
         toks = prev_words.reshape(-1)
         x = dec._embed(p, toks[:, None], pos[None], None, True)[:, 0, :]
-        x_out, alpha, ck, cv = fused_decode_step(
+        x_out, alpha, k_new, v_new = fused_decode_step(
             kw, x.astype(dt), pos, ck, cv, mem_k, mem_v, c.num_heads,
             interpret=interpret,
         )
-        logits = linear(p["fc_out"], x_out.astype(dt))
+        ck, cv = apply_cache_update(ck, cv, k_new, v_new, pos)
+        logits = linear(p["fc_out"], x_out.astype(mem.dtype))
         return (ck, cv), logits.reshape(B, k, V), alpha.reshape(B, k, P)
 
     def gather_fn(state, rows):

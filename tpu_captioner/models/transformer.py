@@ -486,6 +486,8 @@ class TransformerDecoder:
         rollouts with dropout use the XLA path).  Equality with ``rollout``
         is asserted in tests/test_decode_kernel.py."""
         from tpu_captioner.ops.decode_step import (
+            apply_cache_update,
+            cast_weight_matrices,
             fused_decode_step,
             prepare_cross_memory,
             prepare_decode_weights,
@@ -494,12 +496,19 @@ class TransformerDecoder:
         c = self.cfg
         if jax.default_backend() == "cpu":
             interpret = True  # Pallas on the CPU backend is interpret-only
+        pr = interpret if precise is None else precise
         mem = self._project_memory(p, encoder_out)  # (B, P, E)
         B, _, E = mem.shape
         kw = prepare_decode_weights(p["layers"], E)
         mem_k, mem_v = prepare_cross_memory(p["layers"], mem, E)
         T = max_decode_len + 1
-        dt = mem.dtype
+        # bf16 storage for the kernel's streamed operands when running the
+        # bf16-MXU mode (the values feed MXU matmuls that round them to bf16
+        # per use anyway — XLA DEFAULT class); halves the dominant per-step
+        # HBM traffic.  f32 throughout in precise/interpret mode.
+        dt = mem.dtype if pr else jnp.bfloat16
+        kw = cast_weight_matrices(kw, dt)
+        mem_k, mem_v = mem_k.astype(dt), mem_v.astype(dt)
         ck0 = jnp.zeros((c.num_layers, B, T, E), dt)
         cv0 = jnp.zeros_like(ck0)
         tok0 = jnp.full((B,), start_id, dtype=jnp.int32)
@@ -515,11 +524,12 @@ class TransformerDecoder:
                 )
                 tok = jnp.where(use_teacher, teacher_tokens[:, t], tok)
             x = self._embed(p, tok[:, None], t[None], None, True)[:, 0, :]
-            x_out, alpha, ck, cv = fused_decode_step(
+            x_out, alpha, k_new, v_new = fused_decode_step(
                 kw, x.astype(dt), t, ck, cv, mem_k, mem_v, c.num_heads,
                 interpret=interpret, precise=precise,
             )
-            logits_t = linear(p["fc_out"], x_out.astype(dt))
+            ck, cv = apply_cache_update(ck, cv, k_new, v_new, t)
+            logits_t = linear(p["fc_out"], x_out.astype(mem.dtype))
             pred = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
             act = ~finished
             out = (

@@ -127,16 +127,19 @@ def _kernel(
     wqkv, bqkv, wso, bso, wcq, bcq, wco, bco,
     wf1, bf1, wf2, bf2, ln1s, ln1b, ln2s, ln2b, ln3s, ln3b,
     memk, memv, ck_in, cv_in,
-    x_out, alpha_out, ck_out, cv_out,
+    x_out, alpha_out, knew_out, vnew_out,
     x_scr, alpha_scr,
     *, num_heads: int, num_layers: int, mxu_dtype,
 ):
-    # Grid: (layers, row tiles), layers OUTER — per-layer weights stay
-    # resident across the inner row sweep; cache/memory blocks stream per
-    # (l, r).  The hidden state and alpha accumulator live in full-size VMEM
-    # scratch, sliced per row tile (scratch persists across the whole grid,
-    # so tile r's carry survives the non-consecutive l visits).
-    l = pl.program_id(0)
+    # Grid: (layer GROUPS, row tiles), groups OUTER — each cell runs
+    # ``layers_per_cell`` consecutive decoder layers (the weight blocks'
+    # leading dim), amortizing the ~50 us fixed per-grid-cell cost that
+    # dominates at small row counts (BENCHMARKING.md round 3); cache/memory
+    # blocks stream per (g, r).  The hidden state and alpha accumulator live
+    # in full-size VMEM scratch, sliced per row tile (scratch persists
+    # across the whole grid, so tile r's carry survives the non-consecutive
+    # g visits).
+    g = pl.program_id(0)
     ri = pl.program_id(1)
     pos = pos_ref[0, 0]
     R, E = x_ref.shape  # R = row-tile size here
@@ -144,6 +147,8 @@ def _kernel(
     H = num_heads
     dh = E // H
     scale = 1.0 / math.sqrt(dh)
+    lpc = wqkv.shape[0]  # layers per grid cell
+    n_groups = num_layers // lpc
 
     def mm(a, b):
         return jnp.dot(
@@ -153,7 +158,7 @@ def _kernel(
 
     # Seed this row tile's carry from the input at the first layer (same
     # carry-in-scratch pattern as ops/mlp_block.py's backward accumulators).
-    @pl.when(l == 0)
+    @pl.when(g == 0)
     def _():
         x_scr[pl.ds(row0, R), :] = x_ref[:].astype(jnp.float32)
 
@@ -164,66 +169,74 @@ def _kernel(
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 1)
     sel = ((e_ids // dh) == h_ids).astype(jnp.float32)
 
-    # --- self-attention against the cache (token at `pos` written first,
-    # matching decode_step's update-then-attend order) ---------------------
-    qkv = mm(x, wqkv[0]) + bqkv[0]
-    q = qkv[:, :E] * scale
-    k_new = qkv[:, E : 2 * E]
-    v_new = qkv[:, 2 * E :]
-
     T = ck_in.shape[2]
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1)
     is_pos = t_ids == pos
-    ck = jnp.where(is_pos, k_new[:, None, :], ck_in[0].astype(jnp.float32))
-    cv = jnp.where(is_pos, v_new[:, None, :], cv_in[0].astype(jnp.float32))
-    ck_out[0] = ck.astype(ck_out.dtype)
-    cv_out[0] = cv.astype(cv_out.dtype)
-
-    prod = ck * q[:, None, :]  # (R, T, E)
-    scores = mm(prod.reshape(R * T, E), sel).reshape(R, T, H)
     keep = t_ids <= pos
-    scores = jnp.where(keep, scores, -1e30)
-    mx = jnp.max(scores, axis=1, keepdims=True)
-    num = jnp.where(keep, jnp.exp(scores - mx), 0.0)
-    probs = num / jnp.sum(num, axis=1, keepdims=True)
-    pe = mm(probs.reshape(R * T, H), sel.T).reshape(R, T, E)
-    ctx = jnp.sum(cv * pe, axis=1)  # (R, E)
-    sa = mm(ctx, wso[0]) + bso[0]
-    x = _ln(x + sa, ln1s[0], ln1b[0])
+    P = memk.shape[2]
+    alpha_cell = jnp.zeros((R, P), jnp.float32)
 
-    # --- cross-attention against precomputed memory K/V -------------------
-    q2 = (mm(x, wcq[0]) + bcq[0]) * scale
-    mk = memk[0].astype(jnp.float32)  # (R, P, E)
-    P = mk.shape[1]
-    prod2 = mk * q2[:, None, :]
-    scores2 = mm(prod2.reshape(R * P, E), sel).reshape(R, P, H)
-    mx2 = jnp.max(scores2, axis=1, keepdims=True)
-    num2 = jnp.exp(scores2 - mx2)
-    probs2 = num2 / jnp.sum(num2, axis=1, keepdims=True)  # (R, P, H)
-    pe2 = mm(probs2.reshape(R * P, H), sel.T).reshape(R, P, E)
-    ctx2 = jnp.sum(memv[0].astype(jnp.float32) * pe2, axis=1)
-    ca = mm(ctx2, wco[0]) + bco[0]
+    for j in range(lpc):  # static unroll over this cell's layers
+        # --- self-attention against the cache (token at `pos` written
+        # first, matching decode_step's update-then-attend order) ----------
+        qkv = mm(x, wqkv[j]) + bqkv[j]
+        q = qkv[:, :E] * scale
+        k_new = qkv[:, E : 2 * E]
+        v_new = qkv[:, 2 * E :]
 
-    # layers+heads-averaged attention map (transformerDecoderAttVis.py:223-226)
-    alpha_l = jnp.mean(probs2, axis=2) / num_layers  # (R, P)
+        ck = jnp.where(is_pos, k_new[:, None, :], ck_in[j].astype(jnp.float32))
+        cv = jnp.where(is_pos, v_new[:, None, :], cv_in[j].astype(jnp.float32))
+        # Only the NEW row leaves the kernel — the caller inserts it with an
+        # aliased dynamic_update_slice (apply_cache_update).  Writing the
+        # whole where-merged cache back cost 4x (RT,T,E) HBM writes per step
+        # for one fresh row each.
+        knew_out[j] = k_new.astype(knew_out.dtype)
+        vnew_out[j] = v_new.astype(vnew_out.dtype)
 
-    @pl.when(l == 0)
-    def _():
-        alpha_scr[pl.ds(row0, R), :] = alpha_l
+        prod = ck * q[:, None, :]  # (R, T, E)
+        scores = mm(prod.reshape(R * T, E), sel).reshape(R, T, H)
+        scores = jnp.where(keep, scores, -1e30)
+        mx = jnp.max(scores, axis=1, keepdims=True)
+        num = jnp.where(keep, jnp.exp(scores - mx), 0.0)
+        probs = num / jnp.sum(num, axis=1, keepdims=True)
+        pe = mm(probs.reshape(R * T, H), sel.T).reshape(R, T, E)
+        ctx = jnp.sum(cv * pe, axis=1)  # (R, E)
+        sa = mm(ctx, wso[j]) + bso[j]
+        x = _ln(x + sa, ln1s[j], ln1b[j])
 
-    @pl.when(l > 0)
-    def _():
-        alpha_scr[pl.ds(row0, R), :] = alpha_scr[pl.ds(row0, R), :] + alpha_l
+        # --- cross-attention against precomputed memory K/V ---------------
+        q2 = (mm(x, wcq[j]) + bcq[j]) * scale
+        mk = memk[j].astype(jnp.float32)  # (R, P, E)
+        prod2 = mk * q2[:, None, :]
+        scores2 = mm(prod2.reshape(R * P, E), sel).reshape(R, P, H)
+        mx2 = jnp.max(scores2, axis=1, keepdims=True)
+        num2 = jnp.exp(scores2 - mx2)
+        probs2 = num2 / jnp.sum(num2, axis=1, keepdims=True)  # (R, P, H)
+        pe2 = mm(probs2.reshape(R * P, H), sel.T).reshape(R, P, E)
+        ctx2 = jnp.sum(memv[j].astype(jnp.float32) * pe2, axis=1)
+        ca = mm(ctx2, wco[j]) + bco[j]
 
-    x = _ln(x + ca, ln2s[0], ln2b[0])
+        # layers+heads-averaged map (transformerDecoderAttVis.py:223-226)
+        alpha_cell = alpha_cell + jnp.mean(probs2, axis=2) / num_layers
 
-    # --- FFN ---------------------------------------------------------------
-    h = jnp.maximum(mm(x, wf1[0]) + bf1[0], 0.0)
-    ff = mm(h, wf2[0]) + bf2[0]
-    x = _ln(x + ff, ln3s[0], ln3b[0])
+        x = _ln(x + ca, ln2s[j], ln2b[j])
+
+        # --- FFN -----------------------------------------------------------
+        h = jnp.maximum(mm(x, wf1[j]) + bf1[j], 0.0)
+        ff = mm(h, wf2[j]) + bf2[j]
+        x = _ln(x + ff, ln3s[j], ln3b[j])
+
     x_scr[pl.ds(row0, R), :] = x
 
-    @pl.when(l == num_layers - 1)
+    @pl.when(g == 0)
+    def _():
+        alpha_scr[pl.ds(row0, R), :] = alpha_cell
+
+    @pl.when(g > 0)
+    def _():
+        alpha_scr[pl.ds(row0, R), :] = alpha_scr[pl.ds(row0, R), :] + alpha_cell
+
+    @pl.when(g == n_groups - 1)
     def _():
         x_out[:] = x.astype(x_out.dtype)
         alpha_out[:] = alpha_scr[pl.ds(row0, R), :]
@@ -242,15 +255,27 @@ def fused_decode_step(
     interpret: bool = False,
     precise: bool = None,
     row_tile: int = None,
+    layers_per_cell: int = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (x_out (R, E) f32, alpha (R, P) f32, cache_k, cache_v).
-    The caches are updated in place (aliased) with k/v at `pos`.
+    """Returns (x_out (R, E) f32, alpha (R, P) f32, k_new (L, R, E),
+    v_new (L, R, E)).  The caches are READ-only here; insert the new rows
+    with ``apply_cache_update(cache_k, cache_v, k_new, v_new, pos)`` —
+    attention inside the kernel already saw k/v at ``pos`` (register merge),
+    so the external insert is pure persistence for the NEXT step and costs
+    2 (L, R, 1, E) writes instead of 4 full-cache transfers.
 
     ``precise``: f32 MXU multiplicands when True, bf16 (f32 accumulation)
     when False.  Default (None) resolves to f32 in interpret mode (exact
     CPU parity tests) and bf16 on TPU — the same one-pass-bf16 class as
     XLA's DEFAULT matmul precision that the rest of the f32 model already
-    runs under on TPU (measured: 17.8 vs 21.0 ms/rollout at B=32)."""
+    runs under on TPU (measured: 17.8 vs 21.0 ms/rollout at B=32).
+
+    ``layers_per_cell``: decoder layers executed per grid cell (must divide
+    L).  Default 1 — packing was built to amortize the ~50 us fixed cost
+    per grid cell that dominates at small row counts, but measured 7.6x
+    WORSE at flagship scale (R=32, bf16: 0.33 -> 2.54 ms/step; the
+    3x-unrolled body appears to spill and compiles 10x slower), so it ships
+    off.  See BENCHMARKING.md round 3."""
     if precise is None:
         precise = interpret
     L, R, T, E = cache_k.shape
@@ -260,6 +285,15 @@ def fused_decode_step(
     # comfortably double-bufferable; one-tile fast path for greedy eval.
     RT = row_tile or (R if R <= 32 else 32)
     NR = pl.cdiv(R, RT)
+    if layers_per_cell is None:
+        # Default 1: packing measured WORSE at flagship scale — lpc=3 bf16
+        # at R=32 ran 2.54 ms/step vs lpc=1's 0.33 (and took a 20-minute
+        # Mosaic compile; the 3x-unrolled body appears to spill).  The knob
+        # stays for shapes where per-cell fixed cost dominates differently.
+        layers_per_cell = 1
+    LPC = layers_per_cell
+    if L % LPC != 0:
+        raise ValueError(f"layers_per_cell={LPC} must divide num_layers={L}")
     kernel = functools.partial(
         _kernel,
         num_heads=num_heads,
@@ -268,29 +302,29 @@ def fused_decode_step(
     )
     pos2 = jnp.reshape(pos.astype(jnp.int32), (1, 1))
     perr = lambda shape: pl.BlockSpec(
-        shape, lambda l, r: (r,) + (0,) * (len(shape) - 1),
+        shape, lambda g, r: (r,) + (0,) * (len(shape) - 1),
         memory_space=pltpu.VMEM,
     )
     perl = lambda shape: pl.BlockSpec(
-        (1,) + shape, lambda l, r: (l,) + (0,) * len(shape),
+        (LPC,) + shape, lambda g, r: (g,) + (0,) * len(shape),
         memory_space=pltpu.VMEM,
     )
     perlr = lambda shape: pl.BlockSpec(
-        (1,) + shape, lambda l, r: (l, r) + (0,) * (len(shape) - 1),
+        (LPC,) + shape, lambda g, r: (g, r) + (0,) * (len(shape) - 1),
         memory_space=pltpu.VMEM,
     )
     weight_specs = [perl(tuple(arr.shape[1:])) for arr in w]
-    x_out, alpha, ck, cv = pl.pallas_call(
+    x_out, alpha, k_new, v_new = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((R, E), jnp.float32),
             jax.ShapeDtypeStruct((R, P), jnp.float32),
-            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
-            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+            jax.ShapeDtypeStruct((L, R, E), cache_k.dtype),
+            jax.ShapeDtypeStruct((L, R, E), cache_v.dtype),
         ),
-        grid=(L, NR),
+        grid=(L // LPC, NR),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda l, r: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda g, r: (0, 0), memory_space=pltpu.SMEM),
             perr((RT, E)),
             *weight_specs,
             perlr((RT, P, E)),
@@ -301,11 +335,9 @@ def fused_decode_step(
         out_specs=(
             perr((RT, E)),
             perr((RT, P)),
-            perlr((RT, T, E)),
-            perlr((RT, T, E)),
+            perlr((RT, E)),
+            perlr((RT, E)),
         ),
-        # operand order: pos, x, 18 weights, mem_k, mem_v, cache_k, cache_v
-        input_output_aliases={22: 2, 23: 3},
         scratch_shapes=[
             pltpu.VMEM((NR * RT, E), jnp.float32),  # x carry across layers
             pltpu.VMEM((NR * RT, P), jnp.float32),  # alpha accumulator
@@ -316,7 +348,42 @@ def fused_decode_step(
         ),
         interpret=interpret,
     )(pos2, x, *w, mem_k, mem_v, cache_k, cache_v)
-    return x_out, alpha, ck, cv
+    return x_out, alpha, k_new, v_new
+
+
+def apply_cache_update(
+    cache_k: jnp.ndarray,  # (L, R, T, E)
+    cache_v: jnp.ndarray,
+    k_new: jnp.ndarray,  # (L, R, E)
+    v_new: jnp.ndarray,
+    pos: jnp.ndarray,  # scalar int32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Insert the step's per-layer K/V rows at position ``pos``.  With the
+    caches threaded through a scan/while carry, XLA performs this update in
+    place (the same aliasable dynamic_update_slice the XLA decode path's
+    ``inplace_cache`` relies on)."""
+    z = jnp.zeros((), jnp.int32)
+    ck = jax.lax.dynamic_update_slice(
+        cache_k, k_new[:, :, None, :].astype(cache_k.dtype), (z, z, pos, z)
+    )
+    cv = jax.lax.dynamic_update_slice(
+        cache_v, v_new[:, :, None, :].astype(cache_v.dtype), (z, z, pos, z)
+    )
+    return ck, cv
+
+
+def cast_weight_matrices(w: DecodeWeights, dtype) -> DecodeWeights:
+    """Pre-cast the six big weight MATRICES (not biases/LN params) for the
+    kernel's MXU.  With the kernel's default bf16 multiplicands this is
+    numerically identical to the in-kernel per-use cast — XLA's DEFAULT
+    matmul precision class — but the weights then STREAM from HBM at half
+    the bytes (~24 MB/step saved at f32 model params)."""
+    return w._replace(
+        **{
+            f: getattr(w, f).astype(dtype)
+            for f in ("w_qkv", "w_so", "w_cq", "w_co", "w_f1", "w_f2")
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
