@@ -32,10 +32,9 @@ def main():
     import jax.numpy as jnp
 
     from tpu_captioner.core.config import ModelConfig, TrainConfig
-    from tpu_captioner.infer.beam import beam_search_batch
     from tpu_captioner.train.model import CaptionModel
     from tpu_captioner.train.state import TrainState, make_optimizer
-    from tpu_captioner.train.steps import make_eval_step, make_train_step
+    from tpu_captioner.train.steps import make_train_step
 
     V, B = 9490, 32
     dtype = os.environ.get("BENCH_DTYPE", "float32")
@@ -117,12 +116,43 @@ def main():
              flops=train_step_flops(B, V, train_encoder=train_encoder))
         del state
 
-    # Distinct per-rep inputs, derived ON-DEVICE (identical repeated
-    # dispatches and host->device transfers inside timed loops are both
-    # unreliable through the relay — BENCHMARKING.md measurement hygiene).
-    vary = jax.jit(lambda x, s: x + s)
-    image_list = [vary(batch["images"], np.uint8(i + 1)) for i in range(10)]
-    jax.block_until_ready(image_list)
+    # Distinct per-iteration inputs, derived ON-DEVICE, measured as a
+    # scanned difference quotient: the eval/beam steps carry no state->state
+    # chain like the train steps do, and the relay's per-dispatch overhead
+    # DRIFTS (measured 20 -> 100+ ms within one session — BENCHMARKING.md
+    # "Relay drift caveat"), so K calls run inside ONE jitted lax.scan at
+    # two lengths and the quotient cancels dispatch cost.
+    K1, K2 = 3, 9
+    mk = jax.jit(
+        lambda x: x[None] + jnp.arange(1, K2 + 1, dtype=jnp.uint8)[
+            :, None, None, None, None
+        ]
+    )
+    imgs_k2 = mk(batch["images"])  # (K2, B, 256, 256, 3)
+    jax.block_until_ready(imgs_k2)
+    float(imgs_k2.ravel()[0].astype(jnp.float32))
+
+    def bench_scanned(name, scalar_fn, opts=None):
+        """scalar_fn: (params, images) -> f32 scalar; returns sec/batch."""
+        def scanned(k):
+            def run(p, xs):
+                def body(c, im):
+                    return c + scalar_fn(p, im), None
+                return jax.lax.scan(body, jnp.float32(0), xs[:k])[0]
+            return jax.jit(run, compiler_options=opts)
+
+        f1, f2 = scanned(K1), scanned(K2)
+        t0 = time.perf_counter()
+        float(f1(params, imgs_k2))
+        float(f2(params, imgs_k2))
+        log(f"{name} compile+first: {time.perf_counter() - t0:.1f}s")
+        t1 = time.perf_counter()
+        float(f1(params, imgs_k2))
+        t1 = time.perf_counter() - t1
+        t2 = time.perf_counter()
+        float(f2(params, imgs_k2))
+        t2 = time.perf_counter() - t2
+        return (t2 - t1) / (K2 - K1)
 
     # 2) Free-running greedy eval (51 cached decode steps).  The decode runs
     # as the fused Pallas kernel and the encoder as the fused MLP-tail
@@ -130,36 +160,38 @@ def main():
     eval_model = CaptionModel(
         ModelConfig(decoder="transformer", vocab_size=V, compute_dtype=dtype)
     )
-    eval_step = make_eval_step(eval_model, tc, wid)
-    t0 = time.perf_counter()
-    aux = eval_step(params, eval_batch)
-    jax.block_until_ready(aux["loss"])
-    log(f"eval compile+first: {time.perf_counter() - t0:.1f}s")
-    n = 10
-    t0 = time.perf_counter()
-    for i in range(n):
-        aux = eval_step(params, dict(eval_batch, images=image_list[i]))
-    float(aux["loss"])  # host fetch forces completion
-    emit("greedy_rollout_eval", (time.perf_counter() - t0) / n, 0.73,
-         flops=eval_step_flops(B, V))
+    from tpu_captioner.infer.beam import _beam_compiler_options
+    from tpu_captioner.train.steps import rollout_loss
+
+    def eval_scalar(p, im):
+        _, aux = rollout_loss(
+            eval_model, p, dict(eval_batch, images=im), wid, tc.alpha_c,
+            tc.max_decode_len, rng=None, deterministic=True,
+        )
+        return aux["loss"] + aux["top5_correct"]
+
+    eval_opts = None
+    from tpu_captioner.core.backend import on_tpu
+    if eval_model._use_decode_kernel() and on_tpu():
+        eval_opts = {"xla_tpu_scoped_vmem_limit_kib": int(
+            os.environ.get("TPU_CAPTIONER_DECODE_VMEM_KIB", 102400))}
+    emit("greedy_rollout_eval", bench_scanned("eval", eval_scalar, eval_opts),
+         0.73, flops=eval_step_flops(B, V))
 
     # 3) Beam-5 captioning throughput.
-    t0 = time.perf_counter()
-    res = beam_search_batch(
-        eval_model, params, batch["images"],
-        beam_size=5, max_steps=50, start_id=V - 2, end_id=V - 1,
-    )
-    jax.block_until_ready(res.sequence)
-    log(f"beam compile+first: {time.perf_counter() - t0:.1f}s")
-    n = 5
-    t0 = time.perf_counter()
-    for i in range(n):
-        res = beam_search_batch(
-            eval_model, params, image_list[i],
+    from tpu_captioner.infer.beam import _beam_search_batch_impl
+
+    def beam_scalar(p, im):
+        res = _beam_search_batch_impl(
+            eval_model, p, im,
             beam_size=5, max_steps=50, start_id=V - 2, end_id=V - 1,
         )
-    float(res.score[0])  # host fetch forces completion
-    dt = (time.perf_counter() - t0) / n
+        return jnp.sum(res.score)
+
+    beam_opts = _beam_compiler_options(eval_model)
+    dt = bench_scanned(
+        "beam", beam_scalar, dict(beam_opts) if beam_opts else None
+    )
     # Baseline: the reference algorithm measured on THIS host's CPU by
     # scripts/bench_reference_beam.py (one image per call, full-prefix
     # re-decode, no KV cache — caption.py:160-255), same random-weight
