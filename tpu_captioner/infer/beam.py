@@ -194,12 +194,37 @@ def _lstm_attention_beam(model, params, enc_out, beam_size, max_steps, start_id,
     V = model.cfg.vocab_size
     P = enc.shape[1]
 
-    def step_fn(state, prev_words, _pos):
-        h, c = state
-        emb = p["embedding"][prev_words.reshape(-1)]
-        h2, c2, alpha = dec.step(p, h, c, emb, enc_k, att1)
-        logits = linear(p["fc"], h2)  # eval mode: no dropout (caption.py:512)
-        return (h2, c2), logits.reshape(B, k, V), alpha.reshape(B, k, P)
+    if model._use_decode_kernel():
+        # Per-token attention+LSTMCell body as one Pallas kernel
+        # (ops/lstm_step.py) — same math; equality asserted in
+        # tests/test_lstm_kernel.py.
+        from tpu_captioner.ops.lstm_step import (
+            cast_lstm_weight_matrices,
+            fused_lstm_step,
+            prepare_lstm_weights,
+        )
+
+        interpret = jax.default_backend() == "cpu"
+        kw = prepare_lstm_weights(p, model.cfg.embed_dim)
+        dt = enc.dtype if interpret else jnp.bfloat16
+        kw = cast_lstm_weight_matrices(kw, dt)
+        enc_s, att1_s = enc_k.astype(dt), att1.astype(dt)
+
+        def step_fn(state, prev_words, _pos):
+            h, c = state
+            emb = p["embedding"][prev_words.reshape(-1)]
+            h2, c2, alpha = fused_lstm_step(
+                kw, emb.astype(dt), h, c, enc_s, att1_s, interpret=interpret
+            )
+            logits = linear(p["fc"], h2)
+            return (h2, c2), logits.reshape(B, k, V), alpha.reshape(B, k, P)
+    else:
+        def step_fn(state, prev_words, _pos):
+            h, c = state
+            emb = p["embedding"][prev_words.reshape(-1)]
+            h2, c2, alpha = dec.step(p, h, c, emb, enc_k, att1)
+            logits = linear(p["fc"], h2)  # eval: no dropout (caption.py:512)
+            return (h2, c2), logits.reshape(B, k, V), alpha.reshape(B, k, P)
 
     def gather_fn(state, rows):
         h, c = state
@@ -344,7 +369,7 @@ def _beam_compiler_options(model):
     at beam row counts)."""
     from tpu_captioner.core.backend import on_tpu
 
-    if model.cfg.decoder in ("transformer", "transformer_attvis") and (
+    if model.cfg.decoder in ("transformer", "transformer_attvis", "lstm") and (
         model._use_decode_kernel() and on_tpu()
     ):
         import os

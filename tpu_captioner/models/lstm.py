@@ -225,6 +225,91 @@ class DecoderWithAttention:
             jnp.swapaxes(seqs, 0, 1),
         )
 
+    # -- fused-kernel rollout -------------------------------------------------
+    def fused_rollout(
+        self,
+        p: Params,
+        encoder_out: jnp.ndarray,
+        start_id: int,
+        end_id: int,
+        max_decode_len: int,
+        *,
+        rng: Optional[jax.Array] = None,
+        teacher_tokens: Optional[jnp.ndarray] = None,
+        teacher_prob: float = 0.0,
+        interpret: bool = False,
+        precise: bool = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """``rollout`` with the per-token attention+LSTMCell body as ONE
+        Pallas kernel (ops/lstm_step.py).  Deterministic mode only (eval/
+        test/caption — dropout is identity there, decoder.py:119-163's eval
+        call); training rollouts keep the XLA path.  Equality with
+        ``rollout`` is asserted in tests/test_lstm_kernel.py."""
+        from tpu_captioner.ops.lstm_step import (
+            cast_lstm_weight_matrices,
+            fused_lstm_step,
+            prepare_lstm_weights,
+        )
+
+        c = self.cfg
+        if jax.default_backend() == "cpu":
+            interpret = True  # Pallas on the CPU backend is interpret-only
+        pr = interpret if precise is None else precise
+        enc = _flatten_pixels(encoder_out)
+        att1 = linear(p["attention"]["encoder_att"], enc)
+        h0, c0 = self.init_hidden_state(p, enc)
+        kw = prepare_lstm_weights(p, c.embed_dim)
+        # bf16 streamed operands in bf16-MXU mode (see ops/decode_step.py —
+        # the MXU/elementwise consumers round to bf16 per use anyway).
+        dt = enc.dtype if pr else jnp.bfloat16
+        kw = cast_lstm_weight_matrices(kw, dt)
+        enc_s, att1_s = enc.astype(dt), att1.astype(dt)
+        B = enc.shape[0]
+        tok0 = jnp.full((B,), start_id, dtype=jnp.int32)
+        fin0 = jnp.zeros((B,), dtype=bool)
+        T = max_decode_len
+        rngs = (
+            jax.random.split(rng, T)
+            if rng is not None
+            else jnp.zeros((T, 2), dtype=jnp.uint32)
+        )
+        steps = jnp.arange(T)
+
+        def body(carry, xs):
+            rng_t, t = xs
+            h, cc, tok, finished = carry
+            if teacher_tokens is not None and teacher_prob > 0.0:
+                use_teacher = jax.random.bernoulli(
+                    jax.random.fold_in(rng_t, 1), teacher_prob, (B,)
+                )
+                tok = jnp.where(use_teacher, teacher_tokens[:, t], tok)
+            emb = p["embedding"][tok]
+            h_new, c_new, alpha = fused_lstm_step(
+                kw, emb.astype(dt), h, cc, enc_s, att1_s,
+                interpret=interpret, precise=precise,
+            )
+            logits_t = linear(p["fc"], h_new)  # deterministic: no dropout
+            pred = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+            act = ~finished
+            logits_out = jnp.where(act[:, None], logits_t, 0.0)
+            alpha_out = jnp.where(act[:, None], alpha, 0.0)
+            seq_out = jnp.where(act, pred, 0)
+            # Freeze state on finished rows (decoder.py:158-161).
+            h = jnp.where(act[:, None], h_new, h)
+            cc = jnp.where(act[:, None], c_new, cc)
+            tok = jnp.where(act, pred, tok)
+            finished = finished | (act & (pred == end_id))
+            return (h, cc, tok, finished), (logits_out, alpha_out, seq_out)
+
+        _, (logits, alphas, seqs) = jax.lax.scan(
+            body, (h0, c0, tok0, fin0), (rngs, steps)
+        )
+        return (
+            jnp.swapaxes(logits, 0, 1),
+            jnp.swapaxes(alphas, 0, 1),
+            jnp.swapaxes(seqs, 0, 1),
+        )
+
 
 @dataclass(eq=False)
 class DecoderWithoutAttention:

@@ -189,9 +189,16 @@ class CaptionModel:
         kw = dict(rng=rng, deterministic=deterministic,
                   teacher_tokens=teacher_tokens, teacher_prob=teacher_prob)
         if c.decoder == "lstm":
-            logits, alphas, seqs = self.decoder.rollout(
-                p, encoder_out, start_id, end_id, max_decode_len, **kw
-            )
+            if deterministic and self._decode_kernel_mode() != "off":
+                logits, alphas, seqs = self.decoder.fused_rollout(
+                    p, encoder_out, start_id, end_id, max_decode_len,
+                    rng=rng, teacher_tokens=teacher_tokens,
+                    teacher_prob=teacher_prob,
+                )
+            else:
+                logits, alphas, seqs = self.decoder.rollout(
+                    p, encoder_out, start_id, end_id, max_decode_len, **kw
+                )
             return logits, seqs, alphas
         if c.decoder == "lstm_no_attention":
             logits, seqs = self.decoder.rollout(

@@ -315,7 +315,7 @@ def make_eval_step(
     from tpu_captioner.core.backend import on_tpu
 
     compiler_options = None
-    if model.cfg.decoder in ("transformer", "transformer_attvis") and (
+    if model.cfg.decoder in ("transformer", "transformer_attvis", "lstm") and (
         model._use_decode_kernel() and on_tpu()
     ):
         import os
