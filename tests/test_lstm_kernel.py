@@ -100,6 +100,27 @@ def test_fused_rollout_equality(setup):
     np.testing.assert_allclose(alphas, alphas_ref, rtol=2e-5, atol=2e-6)
 
 
+def test_fused_rollout_scheduled_sampling(setup):
+    """Scheduled sampling (same rng -> same teacher/model coin flips) must
+    agree between the XLA and fused rollouts."""
+    cfg, dec, p, enc_out = setup
+    start, end = cfg.vocab_size - 2, cfg.vocab_size - 1
+    L = 8
+    B = enc_out.shape[0]
+    teacher = jax.random.randint(jax.random.PRNGKey(9), (B, L), 1,
+                                 cfg.vocab_size)
+    rng = jax.random.PRNGKey(4)
+    _, _, seqs_ref = dec.rollout(
+        p, enc_out, start, end, L, deterministic=True,
+        rng=rng, teacher_tokens=teacher, teacher_prob=0.5,
+    )
+    _, _, seqs = dec.fused_rollout(
+        p, enc_out, start, end, L,
+        rng=rng, teacher_tokens=teacher, teacher_prob=0.5,
+    )
+    np.testing.assert_array_equal(seqs, seqs_ref)
+
+
 def test_beam_fused_path_matches_xla(setup):
     """The beam adapter's fused step must give the same captions as the XLA
     adapter (decode_kernel='off')."""
