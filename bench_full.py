@@ -132,27 +132,15 @@ def main():
     jax.block_until_ready(imgs_k2)
     float(imgs_k2.ravel()[0].astype(jnp.float32))
 
+    from tpu_captioner.eval.benchlib import scanned_quotient
+
     def bench_scanned(name, scalar_fn, opts=None):
         """scalar_fn: (params, images) -> f32 scalar; returns sec/batch."""
-        def scanned(k):
-            def run(p, xs):
-                def body(c, im):
-                    return c + scalar_fn(p, im), None
-                return jax.lax.scan(body, jnp.float32(0), xs[:k])[0]
-            return jax.jit(run, compiler_options=opts)
-
-        f1, f2 = scanned(K1), scanned(K2)
-        t0 = time.perf_counter()
-        float(f1(params, imgs_k2))
-        float(f2(params, imgs_k2))
-        log(f"{name} compile+first: {time.perf_counter() - t0:.1f}s")
-        t1 = time.perf_counter()
-        float(f1(params, imgs_k2))
-        t1 = time.perf_counter() - t1
-        t2 = time.perf_counter()
-        float(f2(params, imgs_k2))
-        t2 = time.perf_counter() - t2
-        return (t2 - t1) / (K2 - K1)
+        sec, _, _ = scanned_quotient(
+            scalar_fn, params, imgs_k2, k1=K1, k2=K2, opts=opts,
+            log=log, name=name,
+        )
+        return sec
 
     # 2) Free-running greedy eval (51 cached decode steps).  The decode runs
     # as the fused Pallas kernel and the encoder as the fused MLP-tail
@@ -170,11 +158,9 @@ def main():
         )
         return aux["loss"] + aux["top5_correct"]
 
-    eval_opts = None
-    from tpu_captioner.core.backend import on_tpu
-    if eval_model._use_decode_kernel() and on_tpu():
-        eval_opts = {"xla_tpu_scoped_vmem_limit_kib": int(
-            os.environ.get("TPU_CAPTIONER_DECODE_VMEM_KIB", 102400))}
+    # Same scoped-VMEM raise the product eval/beam paths apply (single
+    # source of truth: infer/beam.py:_beam_compiler_options).
+    eval_opts = dict(_beam_compiler_options(eval_model) or ()) or None
     emit("greedy_rollout_eval", bench_scanned("eval", eval_scalar, eval_opts),
          0.73, flops=eval_step_flops(B, V))
 

@@ -15,7 +15,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -71,31 +70,21 @@ def main():
     jax.block_until_ready(imgs)
     float(imgs.ravel()[0].astype(jnp.float32))
 
+    from tpu_captioner.eval.benchlib import scanned_quotient
+
     opts = _beam_compiler_options(model)
 
-    def scanned(k):
-        def run(p, xs):
-            def body(c, im):
-                res = _beam_search_batch_impl(
-                    model, p, im, beam_size=args.beam, max_steps=args.steps,
-                    start_id=V - 2, end_id=V - 1,
-                )
-                return c + jnp.sum(res.score), None
-            return jax.lax.scan(body, jnp.float32(0), xs[:k])[0]
-        return jax.jit(run, compiler_options=dict(opts) if opts else None)
+    def beam_scalar(p, im):
+        res = _beam_search_batch_impl(
+            model, p, im, beam_size=args.beam, max_steps=args.steps,
+            start_id=V - 2, end_id=V - 1,
+        )
+        return jnp.sum(res.score)
 
-    f1, f2 = scanned(K1), scanned(K2)
-    t0 = time.perf_counter()
-    float(f1(params, imgs))
-    float(f2(params, imgs))
-    log(f"compile+first: {time.perf_counter() - t0:.1f}s")
-    t1 = time.perf_counter()
-    float(f1(params, imgs))
-    t1 = time.perf_counter() - t1
-    t2 = time.perf_counter()
-    float(f2(params, imgs))
-    t2 = time.perf_counter() - t2
-    sec = (t2 - t1) / (K2 - K1)
+    sec, t1, t2 = scanned_quotient(
+        beam_scalar, params, imgs, k1=K1, k2=K2,
+        opts=dict(opts) if opts else None, log=log, name="beam",
+    )
     print(json.dumps({
         "metric": "beam5_captions_per_sec_scanned",
         "value": round(B / sec, 2),

@@ -16,7 +16,6 @@ serial sum shows how much the fusion already buys.
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -47,27 +46,13 @@ def main():
     from tpu_captioner.models.convnext import depthwise_conv7x7_nhwc
     from tpu_captioner.ops.mlp_block import _gelu_exact
 
+    from tpu_captioner.eval.benchlib import scanned_quotient
+
     def bench_scanned(name, fn, x, w):
         """fn: (x_i, w) -> scalar, scanned over K distinct inputs."""
-        def scanned(k):
-            def run(xs, w):
-                def body(c, xi):
-                    return c + fn(xi, w), None
-                return jax.lax.scan(body, jnp.float32(0), xs[:k])[0]
-            return jax.jit(run)
-
-        f1, f2 = scanned(K1), scanned(K2)
-        t0 = time.perf_counter()
-        float(f1(x, w))
-        float(f2(x, w))
-        log(f"{name} compile+first: {time.perf_counter() - t0:.1f}s")
-        t1 = time.perf_counter()
-        float(f1(x, w))
-        t1 = time.perf_counter() - t1
-        t2 = time.perf_counter()
-        float(f2(x, w))
-        t2 = time.perf_counter() - t2
-        sec = (t2 - t1) / (K2 - K1)
+        sec, _, _ = scanned_quotient(
+            lambda w, xi: fn(xi, w), w, x, k1=K1, k2=K2, log=log, name=name,
+        )
         print(json.dumps({"metric": name, "sec": round(sec, 6)}), flush=True)
         return sec
 
@@ -75,7 +60,6 @@ def main():
     totals = {}
     per_stage = []
     for depth, hw, c in STAGES:
-        rows = B * hw * hw
         mk = jax.jit(lambda k, hw=hw, c=c: jax.random.normal(
             k, (K2, B, hw, hw, c), jnp.float32) * 0.1)
         xs = mk(key)

@@ -12,7 +12,6 @@ cancels both the dispatch overhead and any fixed program prologue.
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -68,27 +67,14 @@ def main():
     jax.block_until_ready(imgs_k2)
     float(imgs_k2.ravel()[0].astype(jnp.float32))
 
+    from tpu_captioner.eval.benchlib import scanned_quotient
+
     def bench_scanned(name, scalar_fn, opts=None):
         """scalar_fn: (params, images) -> f32 scalar.  Prints ms/batch."""
-        def scanned(k):
-            def run(p, imgs):
-                def body(c, im):
-                    return c + scalar_fn(p, im), None
-                return jax.lax.scan(body, jnp.float32(0), imgs[:k])[0]
-            return jax.jit(run, compiler_options=opts)
-
-        f1, f2 = scanned(K1), scanned(K2)
-        t0 = time.perf_counter()
-        float(f1(params, imgs_k2))
-        float(f2(params, imgs_k2))
-        log(f"{name} compile+first: {time.perf_counter() - t0:.1f}s")
-        t1 = time.perf_counter()
-        float(f1(params, imgs_k2))
-        t1 = time.perf_counter() - t1
-        t2 = time.perf_counter()
-        float(f2(params, imgs_k2))
-        t2 = time.perf_counter() - t2
-        sec = (t2 - t1) / (K2 - K1)
+        sec, t1, t2 = scanned_quotient(
+            scalar_fn, params, imgs_k2, k1=K1, k2=K2, opts=opts,
+            log=log, name=name,
+        )
         print(json.dumps({
             "metric": name,
             "sec_per_batch32": round(sec, 5),

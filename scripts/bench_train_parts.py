@@ -6,7 +6,7 @@ Same methodology as scripts/bench_eval_parts.py (BENCHMARKING.md
 over k distinct on-device batches at two scan lengths; the per-batch time
 is the difference quotient, cancelling dispatch overhead and prologues.
 
-Variants (BENCH_ONLY substring-filters):
+Variants (BENCH_ONLY = comma-separated exact names; empty = all):
   tf_frozen_grad_{off,mlp,block} — grad of the full frozen TF loss w.r.t.
       decoder params, per encoder kernel mode (the train step minus the
       optimizer update, which is negligible);
@@ -21,7 +21,6 @@ import dataclasses
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -75,27 +74,14 @@ def main():
             lambda a, x: a + jnp.sum(x), tree, jnp.float32(0)
         )
 
+    from tpu_captioner.eval.benchlib import scanned_quotient
+
     def bench_scanned(name, scalar_fn, xs, opts=None):
         """scalar_fn: (params, x) -> f32 scalar, scanned over xs[:k]."""
-        def scanned(k):
-            def run(p, xs):
-                def body(c, x):
-                    return c + scalar_fn(p, x), None
-                return jax.lax.scan(body, jnp.float32(0), xs[:k])[0]
-            return jax.jit(run, compiler_options=opts)
-
-        f1, f2 = scanned(K1), scanned(K2)
-        t0 = time.perf_counter()
-        float(f1(params, xs))
-        float(f2(params, xs))
-        log(f"{name} compile+first: {time.perf_counter() - t0:.1f}s")
-        t1 = time.perf_counter()
-        float(f1(params, xs))
-        t1 = time.perf_counter() - t1
-        t2 = time.perf_counter()
-        float(f2(params, xs))
-        t2 = time.perf_counter() - t2
-        sec = (t2 - t1) / (K2 - K1)
+        sec, t1, t2 = scanned_quotient(
+            scalar_fn, params, xs, k1=K1, k2=K2, opts=opts,
+            log=log, name=name,
+        )
         print(json.dumps({
             "metric": name,
             "sec_per_batch32": round(sec, 5),
@@ -103,10 +89,13 @@ def main():
         }), flush=True)
         return sec
 
+    # Comma-separated EXACT metric names (substring matching made
+    # tf_decoder_grad also select tf_decoder_grad_v1k); empty = all.
     only = os.environ.get("BENCH_ONLY", "")
+    names = [s for s in only.split(",") if s]
 
     def want(name):
-        return only in name
+        return not names or name in names
 
     # 1) Full frozen-step grad (sans optimizer) per encoder kernel mode.
     for mode in ("off", "on", "block"):
@@ -153,7 +142,7 @@ def main():
         )
         return ce_sum / jnp.maximum(tokens, 1.0)
 
-    if want("tf_decoder_grad") and only != "tf_decoder_grad_v1k":
+    if want("tf_decoder_grad"):
         bench_scanned(
             "tf_decoder_grad",
             lambda p, e: gsum(jax.grad(

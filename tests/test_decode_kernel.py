@@ -118,12 +118,20 @@ def test_row_tiled_grid_matches_single_tile(setup):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
-def test_layers_per_cell_matches_per_layer_grid(setup):
+def test_layers_per_cell_matches_per_layer_grid():
     """Packing multiple layers into one grid cell (layers_per_cell) must be
     a pure scheduling change — identical outputs to the one-layer-per-cell
-    grid, including combined with row tiling."""
-    cfg, dec, p, enc_out = setup
+    grid.  A 4-layer decoder exercises the MULTI-group packed path (lpc=2 ->
+    2 groups: cross-group x_scr carry, g>0 alpha accumulation, group-indexed
+    weight blocks), plus the one-group (lpc=L) form and row tiling."""
+    cfg = small_cfg(num_layers=4)
+    dec = TransformerDecoder(cfg, capture_alphas=True)
+    p = dec.init_params(jax.random.PRNGKey(2))
     B, T = 4, 6
+    enc_out = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (B, cfg.encoded_image_size, cfg.encoded_image_size, cfg.encoder_dim),
+    )
     mem = dec._project_memory(p, enc_out)
     kw = prepare_decode_weights(p["layers"], cfg.embed_dim)
     mem_k, mem_v = prepare_cross_memory(p["layers"], mem, cfg.embed_dim)
@@ -135,7 +143,7 @@ def test_layers_per_cell_matches_per_layer_grid(setup):
         kw, x, jnp.int32(0), ck, cv, mem_k, mem_v, cfg.num_heads,
         interpret=True, layers_per_cell=1,
     )
-    for lpc, rt in ((cfg.num_layers, None), (cfg.num_layers, 3)):
+    for lpc, rt in ((2, None), (2, 3), (cfg.num_layers, None)):
         got = fused_decode_step(
             kw, x, jnp.int32(0), ck, cv, mem_k, mem_v, cfg.num_heads,
             interpret=True, layers_per_cell=lpc, row_tile=rt,

@@ -1,0 +1,57 @@
+"""Dispatch-overhead-free benchmarking: the scanned difference quotient.
+
+The axon relay's per-dispatch overhead is large AND drifts (measured 20 ->
+100+ ms within one session — BENCHMARKING.md "Relay drift caveat"), so any
+timing built from separate dispatches is only comparable to itself.  The
+durable instrument: run the step k times inside ONE jitted ``lax.scan``
+over k distinct on-device inputs, at two scan lengths, and report
+``(t_k2 - t_k1) / (k2 - k1)`` — dispatch overhead and program prologue
+cancel in the difference.
+
+Used by bench_full.py and the scripts/bench_*.py family.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Optional, Tuple
+
+
+def scanned_quotient(
+    scalar_fn: Callable[[Any, Any], Any],
+    params: Any,
+    xs: Any,  # (>=k2, ...) distinct per-iteration inputs, already on device
+    *,
+    k1: int,
+    k2: int,
+    opts: Optional[dict] = None,  # jit compiler_options
+    log: Optional[Callable[[str], None]] = None,
+    name: str = "",
+) -> Tuple[float, float, float]:
+    """Returns (sec_per_iteration, t_k1, t_k2).  ``scalar_fn(params, x)``
+    must return a f32 scalar whose value depends on the whole step (the
+    accumulated sum is fetched to the host, fencing execution through the
+    relay)."""
+    import jax
+    import jax.numpy as jnp
+
+    def scanned(k):
+        def run(p, xs):
+            def body(c, x):
+                return c + scalar_fn(p, x), None
+            return jax.lax.scan(body, jnp.float32(0), xs[:k])[0]
+        return jax.jit(run, compiler_options=opts)
+
+    f1, f2 = scanned(k1), scanned(k2)
+    t0 = time.perf_counter()
+    float(f1(params, xs))
+    float(f2(params, xs))
+    if log is not None:
+        log(f"{name} compile+first: {time.perf_counter() - t0:.1f}s")
+    t1 = time.perf_counter()
+    float(f1(params, xs))
+    t1 = time.perf_counter() - t1
+    t2 = time.perf_counter()
+    float(f2(params, xs))
+    t2 = time.perf_counter() - t2
+    return (t2 - t1) / (k2 - k1), t1, t2

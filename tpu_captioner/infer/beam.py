@@ -319,8 +319,9 @@ def _transformer_beam_fused(model, params, enc_out, beam_size, max_steps, start_
     kw = prepare_decode_weights(p["layers"], E)
     mem_k, mem_v = prepare_cross_memory(p["layers"], mem, E)
     interpret = jax.default_backend() == "cpu"
-    # bf16 streamed operands in the kernel's bf16-MXU mode (see
-    # TransformerDecoder.fused_rollout); f32 in interpret/parity mode.
+    # bf16 streamed operands in the kernel's bf16-MXU mode; f32 in
+    # interpret/parity mode.  See TransformerDecoder.fused_rollout for the
+    # rounding-class note (V is one-time-rounded, not per-use-rounded).
     dt = mem.dtype if interpret else jnp.bfloat16
     kw = cast_weight_matrices(kw, dt)
     mem_k, mem_v = mem_k.astype(dt), mem_v.astype(dt)

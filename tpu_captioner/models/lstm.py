@@ -177,11 +177,28 @@ class DecoderWithAttention:
         ``teacher_prob`` p, each step's input is the ground-truth token with
         probability p and the model's argmax otherwise (Bengio et al. 2015) —
         p=0 is the reference's free-running mode."""
-        c = self.cfg
         enc = _flatten_pixels(encoder_out)
         att1 = linear(p["attention"]["encoder_att"], enc)
         h0, c0 = self.init_hidden_state(p, enc)
-        B = enc.shape[0]
+        return self._rollout_scan(
+            p, h0, c0,
+            lambda h, cc, emb: self.step(p, h, cc, emb, enc, att1),
+            start_id, end_id, max_decode_len,
+            rng=rng, deterministic=deterministic,
+            teacher_tokens=teacher_tokens, teacher_prob=teacher_prob,
+            unroll=2,
+        )
+
+    def _rollout_scan(
+        self, p, h0, c0, step_fn, start_id, end_id, max_decode_len,
+        *, rng, deterministic, teacher_tokens, teacher_prob, unroll,
+    ):
+        """Shared greedy-decode scan (decoder.py:119-163 semantics) over a
+        step callable ``(h, c, emb) -> (h_new, c_new, alpha)`` — ONE home
+        for the token mix / finished-row freeze / zeroed-output logic that
+        both the XLA and fused-kernel rollouts use."""
+        c = self.cfg
+        B = h0.shape[0]
         tok0 = jnp.full((B,), start_id, dtype=jnp.int32)
         fin0 = jnp.zeros((B,), dtype=bool)
         T = max_decode_len
@@ -201,7 +218,7 @@ class DecoderWithAttention:
                 )
                 tok = jnp.where(use_teacher, teacher_tokens[:, t], tok)
             emb = p["embedding"][tok]
-            h_new, c_new, alpha = self.step(p, h, cc, emb, enc, att1)
+            h_new, c_new, alpha = step_fn(h, cc, emb)
             hid = dropout(h_new, c.dropout, rng_t, deterministic)
             logits_t = linear(p["fc"], hid)
             pred = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
@@ -217,7 +234,7 @@ class DecoderWithAttention:
             return (h, cc, tok, finished), (logits_out, alpha_out, seq_out)
 
         _, (logits, alphas, seqs) = jax.lax.scan(
-            body, (h0, c0, tok0, fin0), (rngs, steps), unroll=2
+            body, (h0, c0, tok0, fin0), (rngs, steps), unroll=unroll
         )
         return (
             jnp.swapaxes(logits, 0, 1),
@@ -259,55 +276,26 @@ class DecoderWithAttention:
         att1 = linear(p["attention"]["encoder_att"], enc)
         h0, c0 = self.init_hidden_state(p, enc)
         kw = prepare_lstm_weights(p, c.embed_dim)
-        # bf16 streamed operands in bf16-MXU mode (see ops/decode_step.py —
-        # the MXU/elementwise consumers round to bf16 per use anyway).
+        # bf16 streamed operands in bf16-MXU mode.  Rounding note: the
+        # weight matrices feed bf16 MXU matmuls either way, but enc/att1
+        # are consumed in f32 VPU adds/reduces inside the kernel — bf16
+        # storage rounds them once (~2^-8 relative), where the XLA path
+        # keeps att1 f32 and rounds enc per use in its context matmul.
+        # Same error class as the model's bf16-MXU default, asserted
+        # exactly only in interpret (f32) mode.
         dt = enc.dtype if pr else jnp.bfloat16
         kw = cast_lstm_weight_matrices(kw, dt)
         enc_s, att1_s = enc.astype(dt), att1.astype(dt)
-        B = enc.shape[0]
-        tok0 = jnp.full((B,), start_id, dtype=jnp.int32)
-        fin0 = jnp.zeros((B,), dtype=bool)
-        T = max_decode_len
-        rngs = (
-            jax.random.split(rng, T)
-            if rng is not None
-            else jnp.zeros((T, 2), dtype=jnp.uint32)
-        )
-        steps = jnp.arange(T)
-
-        def body(carry, xs):
-            rng_t, t = xs
-            h, cc, tok, finished = carry
-            if teacher_tokens is not None and teacher_prob > 0.0:
-                use_teacher = jax.random.bernoulli(
-                    jax.random.fold_in(rng_t, 1), teacher_prob, (B,)
-                )
-                tok = jnp.where(use_teacher, teacher_tokens[:, t], tok)
-            emb = p["embedding"][tok]
-            h_new, c_new, alpha = fused_lstm_step(
+        return self._rollout_scan(
+            p, h0, c0,
+            lambda h, cc, emb: fused_lstm_step(
                 kw, emb.astype(dt), h, cc, enc_s, att1_s,
                 interpret=interpret, precise=precise,
-            )
-            logits_t = linear(p["fc"], h_new)  # deterministic: no dropout
-            pred = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
-            act = ~finished
-            logits_out = jnp.where(act[:, None], logits_t, 0.0)
-            alpha_out = jnp.where(act[:, None], alpha, 0.0)
-            seq_out = jnp.where(act, pred, 0)
-            # Freeze state on finished rows (decoder.py:158-161).
-            h = jnp.where(act[:, None], h_new, h)
-            cc = jnp.where(act[:, None], c_new, cc)
-            tok = jnp.where(act, pred, tok)
-            finished = finished | (act & (pred == end_id))
-            return (h, cc, tok, finished), (logits_out, alpha_out, seq_out)
-
-        _, (logits, alphas, seqs) = jax.lax.scan(
-            body, (h0, c0, tok0, fin0), (rngs, steps)
-        )
-        return (
-            jnp.swapaxes(logits, 0, 1),
-            jnp.swapaxes(alphas, 0, 1),
-            jnp.swapaxes(seqs, 0, 1),
+            ),
+            start_id, end_id, max_decode_len,
+            rng=rng, deterministic=True,
+            teacher_tokens=teacher_tokens, teacher_prob=teacher_prob,
+            unroll=1,
         )
 
 

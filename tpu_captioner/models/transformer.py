@@ -502,10 +502,13 @@ class TransformerDecoder:
         kw = prepare_decode_weights(p["layers"], E)
         mem_k, mem_v = prepare_cross_memory(p["layers"], mem, E)
         T = max_decode_len + 1
-        # bf16 storage for the kernel's streamed operands when running the
-        # bf16-MXU mode (the values feed MXU matmuls that round them to bf16
-        # per use anyway — XLA DEFAULT class); halves the dominant per-step
-        # HBM traffic.  f32 throughout in precise/interpret mode.
+        # bf16 storage for the kernel's streamed operands in bf16-MXU mode;
+        # halves the dominant per-step HBM traffic.  Rounding note: weights
+        # and K feed MXU matmuls that round to bf16 per use anyway (XLA
+        # DEFAULT class), but V is consumed in an f32 VPU reduce inside the
+        # kernel, so bf16 V-storage rounds ONCE where the XLA decode path's
+        # probs@V matmul rounds V per use — same error class, not bitwise
+        # the same program.  f32 throughout in precise/interpret mode.
         dt = mem.dtype if pr else jnp.bfloat16
         kw = cast_weight_matrices(kw, dt)
         mem_k, mem_v = mem_k.astype(dt), mem_v.astype(dt)

@@ -82,7 +82,7 @@ def _kernel(
     emb_ref, h_ref, c_ref, enc_ref, att1_ref,
     wd, bd, wfull, bfull, wfb, bfb, wihe, wihc, whh, b,
     h_out, c_out, alpha_out,
-    *, hidden_dim: int, mxu_dtype,
+    *, mxu_dtype,
 ):
     R, D = h_ref.shape
     P = enc_ref.shape[1]
@@ -154,7 +154,6 @@ def fused_lstm_step(
     NR = pl.cdiv(R, RT)
     kernel = functools.partial(
         _kernel,
-        hidden_dim=D,
         mxu_dtype=jnp.float32 if precise else jnp.bfloat16,
     )
     perr = lambda shape: pl.BlockSpec(
