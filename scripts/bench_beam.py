@@ -3,6 +3,13 @@
 Usage: python scripts/bench_beam.py [--batch 32] [--mode fused|xla|both]
 Reports captions/sec with the ConvNeXt-Base encoder pass included (same
 condition as bench_full.py's beam phase).
+
+
+WARNING: this script times SEPARATE dispatches; the relay's per-dispatch
+overhead DRIFTS (20 -> 100+ ms within one session — BENCHMARKING.md 'Relay
+drift caveat'), so its numbers are only comparable same-hour.  Prefer the
+scanned difference-quotient instruments (scripts/bench_beam_scanned.py,
+scripts/bench_eval_parts.py).
 """
 
 import argparse

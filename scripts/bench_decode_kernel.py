@@ -7,6 +7,13 @@ that BENCHMARKING.md's ablations identified as the eval/beam bottleneck.
 
 Usage: python scripts/bench_decode_kernel.py [--rows 32] [--vocab 9490]
        [--steps 51] [--mode both|fused|xla] [--dtype float32]
+
+
+WARNING: this script times SEPARATE dispatches; the relay's per-dispatch
+overhead DRIFTS (20 -> 100+ ms within one session — BENCHMARKING.md 'Relay
+drift caveat'), so its numbers are only comparable same-hour.  Prefer the
+scanned difference-quotient instruments (scripts/bench_beam_scanned.py,
+scripts/bench_eval_parts.py).
 """
 
 import argparse
