@@ -229,7 +229,9 @@ class CaptionModel:
         """'off' | 'step' (per-token fused kernel) | 'mega' (whole-rollout
         single launch).  'mega' requires the vocab tables + weights to fit
         VMEM (~(2V*E + L*7E^2)*2 bytes bf16); fall back to 'step' when too
-        big (COCO's 47k-word vocab without min-freq pruning, say)."""
+        big (COCO's 47k-word vocab without min-freq pruning, say).  For the
+        LSTM+attention decoder any non-'off' mode selects its own fused
+        step kernel (ops/lstm_step.py) in deterministic rollouts/beam."""
         mode = self.cfg.decode_kernel
         if mode == "off" or mode is False:
             return "off"
