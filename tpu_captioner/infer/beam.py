@@ -363,21 +363,12 @@ _ADAPTERS = {
 
 
 def _beam_compiler_options(model):
-    """Raise the scoped-VMEM budget when the fused decode-step kernel runs
-    inside the beam while_loop (same rationale as make_eval_step,
-    train/steps.py:295-305 — XLA stages the loop-carried KV caches and the
-    kernel's per-grid-cell operands in scoped VMEM; the 16 MB default OOMs
-    at beam row counts)."""
-    from tpu_captioner.core.backend import on_tpu
+    """core.backend.decode_compiler_options as a hashable tuple-of-pairs
+    (the beam jit wrapper is lru_cached on it) or None."""
+    from tpu_captioner.core.backend import decode_compiler_options
 
-    if model.cfg.decoder in ("transformer", "transformer_attvis", "lstm") and (
-        model._use_decode_kernel() and on_tpu()
-    ):
-        import os
-
-        limit = int(os.environ.get("TPU_CAPTIONER_DECODE_VMEM_KIB", 102400))
-        return (("xla_tpu_scoped_vmem_limit_kib", limit),)
-    return None
+    opts = decode_compiler_options(model)
+    return tuple(opts.items()) if opts else None
 
 
 _STATIC = ("model", "beam_size", "max_steps", "start_id", "end_id")

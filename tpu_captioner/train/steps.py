@@ -146,6 +146,40 @@ def _shardings(mesh: Optional[Mesh]):
     return NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
 
 
+def train_step_compiler_options(model, cfg, train_encoder: bool):
+    """Scoped-VMEM budget for train-step programs with Pallas encoder
+    kernels (None when on CPU / kernels off).  XLA places the kernels'
+    operand/output tuples on the scoped-VMEM stack; at bs>32 they outgrow
+    the ~46 MB default and XLA flips to a pathologically slow placement
+    (27 ms @ bs=32 vs 732 ms @ bs=64 — BENCHMARKING.md "Batch-size
+    scaling, root-caused").  Sweep-tuned defaults: fine-tune keeps the
+    round-2 64 MB (its backward stages stack more and a larger budget
+    grows what XLA stages); frozen keeps XLA's own default at bs<=32
+    (raising it costs up to 10% there) and takes 96 MB above (bs=64 is
+    732 ms default / 95 ms @ 64 MB / 62 ms @ 96 MB).  Env override:
+    TPU_CAPTIONER_SCOPED_VMEM_KIB (0 = keep XLA's default budget)."""
+    from tpu_captioner.core.backend import on_tpu
+
+    if not on_tpu():
+        return None
+    pm = getattr(model.encoder, "pallas_mode", "off")
+    uses_pallas = any(m != "off" for m in pm) if isinstance(
+        pm, (tuple, list)
+    ) else pm != "off"
+    if not uses_pallas:
+        return None
+    import os
+
+    if train_encoder:
+        default = 65536
+    elif cfg.batch_size <= 32:
+        default = 0
+    else:
+        default = 98304
+    limit = int(os.environ.get("TPU_CAPTIONER_SCOPED_VMEM_KIB", default))
+    return {"xla_tpu_scoped_vmem_limit_kib": limit} if limit > 0 else None
+
+
 def make_train_step(
     model: CaptionModel,
     cfg: TrainConfig,
@@ -246,36 +280,7 @@ def make_train_step(
     # in scoped VMEM inside the scan-body fusion, which blows the default
     # 16 MB scoped budget ("Ran out of memory in memory space vmem ...
     # scoped allocation").  Raise the budget for this program only.
-    from tpu_captioner.core.backend import on_tpu
-
-    compiler_options = None
-    if on_tpu():
-        pm = getattr(model.encoder, "pallas_mode", "off")
-        uses_pallas = any(m != "off" for m in pm) if isinstance(
-            pm, (tuple, list)
-        ) else pm != "off"
-        if uses_pallas:
-            import os
-
-            # The FROZEN step needs this too: XLA places the forward
-            # kernels' (B*H*W, C) outputs on the scoped-VMEM stack, and at
-            # bs>32 they outgrow the ~46 MB default, flipping XLA into a
-            # pathologically slow placement (27 ms @ bs=32 vs 732 ms @
-            # bs=64 — BENCHMARKING.md "Batch-size scaling, root-caused").
-            # Sweep-tuned defaults: fine-tune keeps the round-2 64 MB (its
-            # backward stages stack more and a larger budget grows what XLA
-            # stages); frozen keeps XLA's own default at bs<=32 (raising it
-            # costs up to 10% there) and takes 96 MB above (bs=64 is
-            # 732 ms default / 95 ms @ 64 MB / 62 ms @ 96 MB).
-            if train_encoder:
-                default = 65536
-            elif cfg.batch_size <= 32:
-                default = 0  # 0 = keep XLA's default budget
-            else:
-                default = 98304
-            limit = int(os.environ.get("TPU_CAPTIONER_SCOPED_VMEM_KIB", default))
-            if limit > 0:
-                compiler_options = {"xla_tpu_scoped_vmem_limit_kib": limit}
+    compiler_options = train_step_compiler_options(model, cfg, train_encoder)
 
     repl, data_sh = _shardings(mesh)
     if mesh is None:
@@ -312,16 +317,9 @@ def make_eval_step(
     # The fused decode-step kernel's scan-carried KV caches (2 x ~25 MB at
     # B=32) are staged in scoped VMEM by XLA; the default 16 MB budget OOMs.
     # Raise it for this program (v5e has 128 MB VMEM).
-    from tpu_captioner.core.backend import on_tpu
+    from tpu_captioner.core.backend import decode_compiler_options
 
-    compiler_options = None
-    if model.cfg.decoder in ("transformer", "transformer_attvis", "lstm") and (
-        model._use_decode_kernel() and on_tpu()
-    ):
-        import os
-
-        limit = int(os.environ.get("TPU_CAPTIONER_DECODE_VMEM_KIB", 102400))
-        compiler_options = {"xla_tpu_scoped_vmem_limit_kib": limit}
+    compiler_options = decode_compiler_options(model)
 
     repl, data_sh = _shardings(mesh)
     if mesh is None:
