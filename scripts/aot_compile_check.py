@@ -163,7 +163,9 @@ def main():
         "tf_train_finetune_bs32": lambda: train_program(True, 32),
         "eval_step_bs32": lambda: eval_program("transformer"),
         "lstm_eval_bs32": lambda: eval_program("lstm"),
+        "lstm_plain_eval_bs32": lambda: eval_program("lstm_no_attention"),
         "beam5_bs32": lambda: beam_program("transformer"),
+        "attvis_beam5_bs32": lambda: beam_program("transformer_attvis"),
         "lstm_beam5_bs32": lambda: beam_program("lstm"),
     }
     if args.list:
