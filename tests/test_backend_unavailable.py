@@ -1,0 +1,92 @@
+"""Backend-unavailable degradation (VERDICT r3 #2).
+
+When the TPU relay is dead, ``jax.default_backend()`` raises
+``RuntimeError: ... UNAVAILABLE`` at *model construction* time (kernel-mode
+resolution calls ``on_tpu()`` from ``CaptionModel.__post_init__``).  The
+BENCH_r03 artifact is that stack trace.  These tests pin the contract:
+``on_tpu()`` never raises, model construction works with a dead backend,
+and ``bench.py`` emits one parseable JSON failure line instead of crashing.
+"""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from tpu_captioner.core import backend
+
+
+@pytest.fixture
+def dead_backend(monkeypatch):
+    """Simulate the relay-down failure: default_backend raises, cache clear."""
+    monkeypatch.setattr(backend, "_ON_TPU", None)
+
+    def boom():
+        raise RuntimeError(
+            "Unable to initialize backend 'axon': UNAVAILABLE: failed to "
+            "connect to all addresses"
+        )
+
+    monkeypatch.setattr(backend.jax, "default_backend", boom)
+    yield
+    # monkeypatch restores; reset the cache so later tests re-resolve.
+    backend._ON_TPU = None
+
+
+def test_on_tpu_returns_false_when_backend_raises(dead_backend):
+    assert backend.on_tpu() is False
+
+
+def test_on_tpu_failure_is_not_cached(monkeypatch):
+    """A backend that comes up after a failed probe is still detected."""
+    monkeypatch.setattr(backend, "_ON_TPU", None)
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("UNAVAILABLE")
+        return "tpu"
+
+    monkeypatch.setattr(backend.jax, "default_backend", flaky)
+    assert backend.on_tpu() is False
+    assert backend.on_tpu() is True  # second call re-probes and caches
+    assert backend.on_tpu() is True
+    assert calls["n"] == 2  # success was cached
+    backend._ON_TPU = None
+
+
+def test_model_constructs_with_dead_backend(dead_backend):
+    """CaptionModel(use_pallas='auto') must not require a live backend."""
+    from tpu_captioner.core.config import ModelConfig
+    from tpu_captioner.train.model import CaptionModel
+
+    m = CaptionModel(ModelConfig(decoder="transformer", vocab_size=100))
+    # Dead backend resolves to the XLA path (kernels off).
+    assert m.encoder.pallas_mode in ("off", ("off",) * 4)
+    assert m._use_decode_kernel() is False
+    assert backend.decode_compiler_options(m) is None
+
+
+def test_bench_emits_json_line_on_dead_backend(tmp_path):
+    """bench.py with an unreachable backend prints ONE parseable JSON line
+    with value 0 and an error field (no stack trace, rc=0).  Run in a
+    subprocess with the relay env pointed at a dead address and retries
+    cut short via a tiny probe budget."""
+    code = (
+        "import bench, json\n"
+        # Patch the probe to fail fast instead of burning 3x30s.
+        "bench.backend_ready = lambda retries=3, delay_s=30.0: False\n"
+        "bench.main()\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["metric"] == "train_images_per_sec_per_chip"
+    assert out["value"] == 0.0
+    assert "error" in out

@@ -12,8 +12,26 @@ from __future__ import annotations
 import jax
 
 
+_ON_TPU: bool | None = None  # cached once backend init succeeds
+
+
 def on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
+    """True iff the default JAX backend is TPU.
+
+    Never raises: a dead/unreachable backend (``jax.default_backend()``
+    throwing ``RuntimeError: ... UNAVAILABLE`` when the relay is down —
+    the BENCH_r03 failure mode) degrades to False so model construction
+    and kernel-mode resolution still work; compute will fail later with
+    the real error only if the caller actually dispatches to the device.
+    The successful answer is cached; failures are NOT, so a backend that
+    comes up later is still detected."""
+    global _ON_TPU
+    if _ON_TPU is None:
+        try:
+            _ON_TPU = jax.default_backend() == "tpu"
+        except Exception:
+            return False
+    return _ON_TPU
 
 
 def decode_compiler_options(model):
