@@ -1,21 +1,34 @@
-"""Cross-framework BLEU-equality artifact.
+"""Cross-framework BLEU-equality artifact — ALL FOUR decoder families.
 
 Trains a REFERENCE-architecture torch model (reduced-depth ConvNeXt encoder +
-nn.TransformerDecoder, mirroring models/encoder.py + models/transformerDecoder.py)
+the selected decoder, mirroring models/encoder.py + models/transformerDecoder.py
+/ models/decoder.py / models/lstmNoAttention.py / models/transformerDecoderAttVis.py)
 on the learnable synthetic dataset on CPU, saves a reference-format
 ``.pth.tar`` checkpoint (utils/utils.py:195-224 payload and state-dict key
 schemes), then evaluates that ONE checkpoint through BOTH stacks:
 
 (a) torch — a transcription of the reference's test loop (test.py:144-215):
-    active-row full-prefix greedy re-decode (transformerDecoder.py:110-160),
+    active-row greedy re-decode (the family's forwardWithoutTeacherForcing),
     preprocessDecoderOutputForMetrics alignment (utils/utils.py:261-295),
-    nltk corpus_bleu 1..4 with the reference's weight vectors;
+    doubly-stochastic attention regularizer on the LSTM+attention loss
+    (test.py:174-175), nltk corpus_bleu 1..4 with the reference's weights;
 (b) tpu_captioner — ``cli/test.py`` with port-on-load of the .pth.tar.
 
 Asserting BLEU-1..4 (and loss/top-5) agree certifies the entire
-port -> KV-cached rollout -> aligner -> BLEU chain against REAL reference
-training dynamics, not just forward numerics (which
-tests/test_reference_checkpoint.py already pins).
+port -> rollout -> aligner -> BLEU chain against REAL reference training
+dynamics, not just forward numerics (which tests/test_reference_checkpoint.py
+already pins).
+
+Per-family notes:
+- transformer: nn.TransformerDecoder, ``transformer_decoder.layers.N`` keys.
+- transformer_attvis: the attention-capture variant
+  (transformerDecoderAttVis.py) — ``decoder_layers.N`` keys and, at the
+  reduced size where encoder_dim == embed_dim, the ``nn.Identity``
+  encoder_proj branch (transformerDecoderAttVis.py:129), exercising the
+  porter's optional-encoder_proj path.
+- lstm: DecoderWithAttention (decoder.py:34-172) — additive attention,
+  gated context, LSTMCell, active-index greedy loop, alpha regularizer.
+- lstm_no_attention: DecoderWithoutAttention (lstmNoAttention.py:13-139).
 
 Writes artifacts to --out: test-torch.csv, the cli/test.py CSV, and
 summary.json with the deltas.  Exit code 1 on mismatch.
@@ -45,9 +58,11 @@ BASE = "synthetic_5_cap_per_img_1_min_word_freq"
 DEPTHS = (1, 1, 2, 1)
 DIMS = (8, 16, 24, 32)
 E, H, L, FFN = 32, 4, 2, 48
+ATT, HID = 24, 48  # LSTM attention_dim / decoder_dim (reference: 512/512)
 MAXLEN = 12  # words; encoded length 14
 IMG = 64
 POOL = 2  # encoded_image_size: 64 / 32 = 2
+ALPHA_C = 1.0  # doubly-stochastic regularizer weight (test.py:60)
 
 
 def log(msg):
@@ -162,27 +177,32 @@ class Decoder(nn.Module):
         x = self.dropout(self.embedding(captions))
         return x + self.pe[: captions.shape[1]][None]
 
-    def tf_forward(self, enc_out, captions, kpm):
-        mem = self.encoder_proj(
+    def _project(self, enc_out):
+        return self.encoder_proj(
             enc_out.reshape(enc_out.shape[0], -1, enc_out.shape[-1])
         ).permute(1, 0, 2)
+
+    def _decode(self, tgt, mem, causal, kpm=None):
+        return self.transformer_decoder(
+            tgt, mem, tgt_mask=causal, tgt_key_padding_mask=kpm
+        )
+
+    def tf_forward(self, enc_out, captions, kpm):
+        mem = self._project(enc_out)
         tgt = self._embed(captions).permute(1, 0, 2)
         t = tgt.shape[0]
         causal = torch.triu(torch.ones(t, t, dtype=torch.bool), diagonal=1)
-        out = self.transformer_decoder(
-            tgt, mem, tgt_mask=causal, tgt_key_padding_mask=kpm
-        )
+        out = self._decode(tgt, mem, causal, kpm)
         return self.fc_out(out.permute(1, 0, 2))
 
     @torch.no_grad()
     def greedy(self, enc_out, start_id, end_id, pad_id, max_decode_len):
         """Transcription of forwardWithoutTeacherForcing
-        (transformerDecoder.py:110-160): active-row slicing, full-prefix
-        re-decode per step, pad-grown inputs buffer."""
+        (transformerDecoder.py:110-160, transformerDecoderAttVis.py:170-228):
+        active-row slicing, full-prefix re-decode per step, pad-grown
+        inputs buffer."""
         B = enc_out.shape[0]
-        mem_all = self.encoder_proj(
-            enc_out.reshape(B, -1, enc_out.shape[-1])
-        ).permute(1, 0, 2)
+        mem_all = self._project(enc_out)
         inputs = torch.full((B, 1), start_id, dtype=torch.long)
         predictions = torch.zeros(B, max_decode_len, self.vocab)
         sequences = torch.zeros(B, max_decode_len, dtype=torch.long)
@@ -194,9 +214,7 @@ class Decoder(nn.Module):
             tgt = self._embed(inputs[active]).permute(1, 0, 2)
             tl = tgt.shape[0]
             causal = torch.triu(torch.ones(tl, tl, dtype=torch.bool), diagonal=1)
-            out = self.transformer_decoder(
-                tgt, mem_all[:, active, :], tgt_mask=causal
-            )
+            out = self._decode(tgt, mem_all[:, active, :], causal)
             preds = self.fc_out(out[-1])
             predictions[active, t, :] = preds
             ids = preds.argmax(-1)
@@ -206,7 +224,230 @@ class Decoder(nn.Module):
             new_inputs[:, : t + 1] = inputs
             new_inputs[active, t + 1] = ids
             inputs = new_inputs
-        return predictions, sequences
+        return predictions, sequences, None
+
+    def export_decoder_sd(self):
+        dec_sd = {
+            "embedding.weight": self.embedding.weight,
+            "fc_out.weight": self.fc_out.weight,
+            "fc_out.bias": self.fc_out.bias,
+        }
+        if not isinstance(self.encoder_proj, nn.Identity):
+            dec_sd["encoder_proj.weight"] = self.encoder_proj.weight
+            dec_sd["encoder_proj.bias"] = self.encoder_proj.bias
+        for i, tl in enumerate(self.transformer_decoder.layers):
+            b = f"transformer_decoder.layers.{i}"
+            dec_sd[f"{b}.self_attn.in_proj_weight"] = tl.self_attn.in_proj_weight
+            dec_sd[f"{b}.self_attn.in_proj_bias"] = tl.self_attn.in_proj_bias
+            dec_sd[f"{b}.self_attn.out_proj.weight"] = tl.self_attn.out_proj.weight
+            dec_sd[f"{b}.self_attn.out_proj.bias"] = tl.self_attn.out_proj.bias
+            dec_sd[f"{b}.multihead_attn.in_proj_weight"] = tl.multihead_attn.in_proj_weight
+            dec_sd[f"{b}.multihead_attn.in_proj_bias"] = tl.multihead_attn.in_proj_bias
+            dec_sd[f"{b}.multihead_attn.out_proj.weight"] = tl.multihead_attn.out_proj.weight
+            dec_sd[f"{b}.multihead_attn.out_proj.bias"] = tl.multihead_attn.out_proj.bias
+            for nm in ("linear1", "linear2", "norm1", "norm2", "norm3"):
+                mod = getattr(tl, nm)
+                dec_sd[f"{b}.{nm}.weight"] = mod.weight
+                dec_sd[f"{b}.{nm}.bias"] = mod.bias
+        return dec_sd
+
+
+class AttVisDecoder(Decoder):
+    """Reference TransformerDecoderForAttentionViz
+    (transformerDecoderAttVis.py:108-237).  The CustomTransformerDecoderLayer
+    is torch's own TransformerDecoderLayer blocks consolidated (its docstring
+    says so, transformerDecoderAttVis.py:34-63), so the math is the stock
+    layer with attention weights also returned; we train/evaluate through the
+    stock modules and export the attvis key scheme: ``decoder_layers.N`` and
+    — because encoder_dim == embed_dim at this reduced size — the
+    ``nn.Identity`` encoder_proj branch (transformerDecoderAttVis.py:129)."""
+
+    def __init__(self, vocab, dropout=0.1):
+        assert E == DIMS[-1], "attvis reduced config exercises Identity proj"
+        super().__init__(vocab, dropout)
+        self.encoder_proj = nn.Identity()
+
+    def _project(self, enc_out):
+        return enc_out.reshape(
+            enc_out.shape[0], -1, enc_out.shape[-1]
+        ).permute(1, 0, 2)
+
+    def export_decoder_sd(self):
+        sd = super().export_decoder_sd()
+        out = {}
+        for k, v in sd.items():
+            if k.startswith("encoder_proj."):
+                continue  # Identity: no params in the reference state dict
+            out[k.replace("transformer_decoder.layers.", "decoder_layers.")] = v
+        return out
+
+
+class LSTMAttDecoder(nn.Module):
+    """Reference DecoderWithAttention (decoder.py:34-172), reduced size.
+    Module attribute names match the reference exactly so ``state_dict()``
+    emits the reference key scheme (attention.encoder_att.*, decode_step.*,
+    init_h/init_c/f_beta/fc/embedding)."""
+
+    def __init__(self, vocab, dropout=0.5):
+        super().__init__()
+        self.vocab_size = vocab
+        self.attention = nn.Module()
+        self.attention.encoder_att = nn.Linear(DIMS[-1], ATT)
+        self.attention.decoder_att = nn.Linear(HID, ATT)
+        self.attention.full_att = nn.Linear(ATT, 1)
+        self.embedding = nn.Embedding(vocab, E)
+        self.dropout = nn.Dropout(p=dropout)
+        self.decode_step = nn.LSTMCell(E + DIMS[-1], HID, bias=True)
+        self.init_h = nn.Linear(DIMS[-1], HID)
+        self.init_c = nn.Linear(DIMS[-1], HID)
+        self.f_beta = nn.Linear(HID, DIMS[-1])
+        self.fc = nn.Linear(HID, vocab)
+        # init_weights (decoder.py:58-61)
+        self.embedding.weight.data.uniform_(-0.1, 0.1)
+        self.fc.bias.data.fill_(0)
+        self.fc.weight.data.uniform_(-0.1, 0.1)
+
+    def _att(self, encoder_out, h):
+        # Attention.forward (decoder.py:25-31)
+        att1 = self.attention.encoder_att(encoder_out)
+        att2 = self.attention.decoder_att(h)
+        att = self.attention.full_att(F.relu(att1 + att2.unsqueeze(1))).squeeze(2)
+        alpha = F.softmax(att, dim=1)
+        return (encoder_out * alpha.unsqueeze(2)).sum(dim=1), alpha
+
+    def init_hidden_state(self, encoder_out):
+        mean = encoder_out.mean(dim=1)
+        return self.init_h(mean), self.init_c(mean)
+
+    def tf_forward(self, enc_out, captions, caplens):
+        """forwardWithTeacherForcing (decoder.py:69-113): sort by length,
+        shrinking active batch per step."""
+        B = enc_out.shape[0]
+        encoder_out = enc_out.reshape(B, -1, enc_out.shape[-1])
+        num_pixels = encoder_out.shape[1]
+        caplens, sort_ind = caplens.sort(dim=0, descending=True)
+        encoder_out = encoder_out[sort_ind]
+        captions = captions[sort_ind]
+        embeddings = self.embedding(captions)
+        h, c = self.init_hidden_state(encoder_out)
+        decode_lengths = (caplens - 1).tolist()
+        maxdl = max(decode_lengths)
+        predictions = torch.zeros(B, maxdl, self.vocab_size)
+        alphas = torch.zeros(B, maxdl, num_pixels)
+        for t in range(maxdl):
+            bt = sum(1 for dl in decode_lengths if dl > t)
+            awe, alpha = self._att(encoder_out[:bt], h[:bt])
+            gate = torch.sigmoid(self.f_beta(h[:bt]))
+            awe = gate * awe
+            h, c = self.decode_step(
+                torch.cat([embeddings[:bt, t, :], awe], dim=1), (h[:bt], c[:bt])
+            )
+            predictions[:bt, t, :] = self.fc(self.dropout(h))
+            alphas[:bt, t, :] = alpha
+        return predictions, captions, decode_lengths, alphas, sort_ind
+
+    @torch.no_grad()
+    def greedy(self, enc_out, start_id, end_id, pad_id, max_decode_len):
+        """forwardWithoutTeacherForcing (decoder.py:119-163)."""
+        B = enc_out.shape[0]
+        encoder_out = enc_out.reshape(B, -1, enc_out.shape[-1])
+        num_pixels = encoder_out.shape[1]
+        h, c = self.init_hidden_state(encoder_out)
+        inputs = self.embedding(torch.full((B,), start_id, dtype=torch.long))
+        predictions = torch.zeros(B, max_decode_len, self.vocab_size)
+        alphas = torch.zeros(B, max_decode_len, num_pixels)
+        sequences = torch.zeros(B, max_decode_len, dtype=torch.long)
+        finished = torch.zeros(B, dtype=torch.bool)
+        for t in range(max_decode_len):
+            active = (~finished).nonzero(as_tuple=False).squeeze(1)
+            if len(active) == 0:
+                break
+            awe, alpha = self._att(encoder_out[active], h[active])
+            gate = torch.sigmoid(self.f_beta(h[active]))
+            awe = gate * awe
+            h_new, c_new = self.decode_step(
+                torch.cat([inputs[active], awe], dim=1), (h[active], c[active])
+            )
+            preds = self.fc(self.dropout(h_new))
+            predictions[active, t, :] = preds
+            alphas[active, t, :] = alpha
+            ids = preds.argmax(dim=1)
+            sequences[active, t] = ids
+            finished[active] |= ids == end_id
+            inputs[active] = self.embedding(ids)
+            h[active] = h_new
+            c[active] = c_new
+        return predictions, sequences, alphas
+
+    def export_decoder_sd(self):
+        return dict(self.state_dict())
+
+
+class LSTMNoAttDecoder(nn.Module):
+    """Reference DecoderWithoutAttention (lstmNoAttention.py:13-139)."""
+
+    def __init__(self, vocab, dropout=0.5):
+        super().__init__()
+        self.vocab_size = vocab
+        self.embedding = nn.Embedding(vocab, E)
+        self.dropout = nn.Dropout(p=dropout)
+        self.decode_step = nn.LSTMCell(E, HID, bias=True)
+        self.init_h = nn.Linear(DIMS[-1], HID)
+        self.init_c = nn.Linear(DIMS[-1], HID)
+        self.fc = nn.Linear(HID, vocab)
+        self.embedding.weight.data.uniform_(-0.1, 0.1)
+        self.fc.bias.data.fill_(0)
+        self.fc.weight.data.uniform_(-0.1, 0.1)
+
+    def init_hidden_state(self, encoder_out):
+        mean = encoder_out.mean(dim=1)
+        return self.init_h(mean), self.init_c(mean)
+
+    def tf_forward(self, enc_out, captions, caplens):
+        """forwardWithTeacherForcing (lstmNoAttention.py:51-86)."""
+        B = enc_out.shape[0]
+        encoder_out = enc_out.reshape(B, -1, enc_out.shape[-1])
+        caplens, sort_ind = caplens.sort(dim=0, descending=True)
+        encoder_out = encoder_out[sort_ind]
+        captions = captions[sort_ind]
+        embeddings = self.embedding(captions)
+        h, c = self.init_hidden_state(encoder_out)
+        decode_lengths = (caplens - 1).tolist()
+        maxdl = max(decode_lengths)
+        predictions = torch.zeros(B, maxdl, self.vocab_size)
+        for t in range(maxdl):
+            bt = sum(1 for dl in decode_lengths if dl > t)
+            h, c = self.decode_step(embeddings[:bt, t, :], (h[:bt], c[:bt]))
+            predictions[:bt, t, :] = self.fc(self.dropout(h))
+        return predictions, captions, decode_lengths, None, sort_ind
+
+    @torch.no_grad()
+    def greedy(self, enc_out, start_id, end_id, pad_id, max_decode_len):
+        """forwardWithoutTeacherForcing (lstmNoAttention.py:92-130)."""
+        B = enc_out.shape[0]
+        encoder_out = enc_out.reshape(B, -1, enc_out.shape[-1])
+        h, c = self.init_hidden_state(encoder_out)
+        inputs = self.embedding(torch.full((B,), start_id, dtype=torch.long))
+        predictions = torch.zeros(B, max_decode_len, self.vocab_size)
+        sequences = torch.zeros(B, max_decode_len, dtype=torch.long)
+        finished = torch.zeros(B, dtype=torch.bool)
+        for t in range(max_decode_len):
+            active = (~finished).nonzero(as_tuple=False).squeeze(1)
+            if len(active) == 0:
+                break
+            h_new, c_new = self.decode_step(inputs[active], (h[active], c[active]))
+            preds = self.fc(self.dropout(h_new))
+            predictions[active, t, :] = preds
+            ids = preds.argmax(dim=1)
+            sequences[active, t] = ids
+            finished[active] |= ids == end_id
+            inputs[active] = self.embedding(ids)
+            h[active] = h_new
+            c[active] = c_new
+        return predictions, sequences, None
+
+    def export_decoder_sd(self):
+        return dict(self.state_dict())
 
 
 def preprocess_for_metrics(predictions, sequences, caps, end_id, pad_id, maxlen):
@@ -246,14 +487,32 @@ def to_model_input(imgs_u8):
     return torch.tensor(x.transpose(0, 3, 1, 2))
 
 
+DECODER_CLS = {
+    "transformer": Decoder,
+    "transformer_attvis": AttVisDecoder,
+    "lstm": LSTMAttDecoder,
+    "lstm_no_attention": LSTMNoAttDecoder,
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workdir", default="/tmp/bleu_parity")
-    ap.add_argument("--out", default=os.path.join(REPO, "artifacts", "bleu_parity"))
+    ap.add_argument("--decoder", default="transformer", choices=sorted(DECODER_CLS))
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--out", default=None)
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--batch", type=int, default=20)
     args = ap.parse_args()
+    dec_kind = args.decoder
+    is_lstm = dec_kind in ("lstm", "lstm_no_attention")
+    # VERDICT-mandated artifact directory names.
+    suffix = {"transformer": "", "transformer_attvis": "_attvis",
+              "lstm": "_lstm", "lstm_no_attention": "_lstm_noatt"}[dec_kind]
+    if args.out is None:
+        args.out = os.path.join(REPO, "artifacts", f"bleu_parity{suffix}")
+    if args.workdir is None:
+        args.workdir = f"/tmp/bleu_parity{suffix}"
     os.makedirs(args.out, exist_ok=True)
     torch.manual_seed(42)
 
@@ -274,7 +533,7 @@ def main():
     max_decode = MAXLEN + 1
 
     # 2) train the torch reference model ------------------------------------
-    enc, dec = Encoder(), Decoder(V)
+    enc, dec = Encoder(), DECODER_CLS[dec_kind](V)
     imgs, caps, lens = load_split(args.workdir, "TRAIN")
     n = caps.shape[0]
     opt = torch.optim.Adam(
@@ -293,13 +552,25 @@ def main():
             c = torch.tensor(caps[idx].astype(np.int64))
             cl = torch.tensor(lens[idx].astype(np.int64))
             eo = enc(x)
-            kpm = c == pad_id
-            logits = dec.tf_forward(eo, c, kpm)
-            # reference pack_padded selection: positions < caplen-1, targets
-            # caps[:, 1:] (train.py:274-275)
-            dl = cl - 1
-            posmask = torch.arange(c.shape[1] - 1)[None, :] < dl[:, None]
-            loss = crit(logits[:, :-1][posmask], c[:, 1:][posmask])
+            if is_lstm:
+                # reference LSTM train step (train.py:263-275): sorted TF
+                # forward, pack_padded-equivalent masked CE, alpha regularizer
+                # for the attention variant (train.py:269).
+                preds, c_sorted, dls, alphas, _ = dec.tf_forward(eo, c, cl)
+                maxdl = preds.shape[1]
+                dlt = torch.tensor(dls)
+                posmask = torch.arange(maxdl)[None, :] < dlt[:, None]
+                loss = crit(preds[posmask], c_sorted[:, 1 : 1 + maxdl][posmask])
+                if dec_kind == "lstm":
+                    loss = loss + ALPHA_C * ((1.0 - alphas.sum(dim=1)) ** 2).mean()
+            else:
+                kpm = c == pad_id
+                logits = dec.tf_forward(eo, c, kpm)
+                # reference pack_padded selection: positions < caplen-1,
+                # targets caps[:, 1:] (train.py:274-275)
+                dl = cl - 1
+                posmask = torch.arange(c.shape[1] - 1)[None, :] < dl[:, None]
+                loss = crit(logits[:, :-1][posmask], c[:, 1:][posmask])
             opt.zero_grad()
             loss.backward()
             # reference clip_gradient: per-element clamp +-5 (utils:183-192)
@@ -315,28 +586,7 @@ def main():
     # 3) save the reference-format checkpoint --------------------------------
     enc.eval(), dec.eval()
     enc_sd = {f"convnext.{k}": v.detach().clone() for k, v in enc.export().items()}
-    dec_sd = {
-        "embedding.weight": dec.embedding.weight,
-        "fc_out.weight": dec.fc_out.weight,
-        "fc_out.bias": dec.fc_out.bias,
-        "encoder_proj.weight": dec.encoder_proj.weight,
-        "encoder_proj.bias": dec.encoder_proj.bias,
-    }
-    for i, tl in enumerate(dec.transformer_decoder.layers):
-        b = f"transformer_decoder.layers.{i}"
-        dec_sd[f"{b}.self_attn.in_proj_weight"] = tl.self_attn.in_proj_weight
-        dec_sd[f"{b}.self_attn.in_proj_bias"] = tl.self_attn.in_proj_bias
-        dec_sd[f"{b}.self_attn.out_proj.weight"] = tl.self_attn.out_proj.weight
-        dec_sd[f"{b}.self_attn.out_proj.bias"] = tl.self_attn.out_proj.bias
-        dec_sd[f"{b}.multihead_attn.in_proj_weight"] = tl.multihead_attn.in_proj_weight
-        dec_sd[f"{b}.multihead_attn.in_proj_bias"] = tl.multihead_attn.in_proj_bias
-        dec_sd[f"{b}.multihead_attn.out_proj.weight"] = tl.multihead_attn.out_proj.weight
-        dec_sd[f"{b}.multihead_attn.out_proj.bias"] = tl.multihead_attn.out_proj.bias
-        for nm in ("linear1", "linear2", "norm1", "norm2", "norm3"):
-            mod = getattr(tl, nm)
-            dec_sd[f"{b}.{nm}.weight"] = mod.weight
-            dec_sd[f"{b}.{nm}.bias"] = mod.bias
-    dec_sd = {k: v.detach().clone() for k, v in dec_sd.items()}
+    dec_sd = {k: v.detach().clone() for k, v in dec.export_decoder_sd().items()}
     ckpt_path = os.path.join(args.workdir, "BEST_checkpoint_parity.pth.tar")
     torch.save(
         {
@@ -365,11 +615,14 @@ def main():
             x = to_model_input(np.asarray(imgs[idx // 5]))
             c = torch.tensor(caps[idx].astype(np.int64))
             eo = enc(x)
-            preds, seqs = dec.greedy(eo, start_id, end_id, pad_id, max_decode)
+            preds, seqs, alphas = dec.greedy(eo, start_id, end_id, pad_id, max_decode)
             lg, gt, total, dlens = preprocess_for_metrics(
                 preds, seqs, c, end_id, pad_id, max_decode
             )
             loss = crit(lg, gt)
+            if dec_kind == "lstm":
+                # doubly-stochastic attention regularizer (test.py:174-175)
+                loss = loss + ALPHA_C * ((1.0 - alphas.sum(dim=1)) ** 2).mean()
             top5 = float(
                 (lg.topk(5, dim=1).indices == gt[:, None]).any(1).float().mean()
             ) * 100.0
@@ -410,19 +663,24 @@ def main():
         sys.executable, "-m", "tpu_captioner.cli.test",
         "--dataFolder", args.workdir, "--dataName", BASE,
         "--checkpoint", ckpt_path, "--batchSize", str(B),
-        "--embedDim", str(E), "--decoderDim", str(FFN),
-        "--numLayers", str(L), "--numHeads", str(H),
+        "--decoder", dec_kind,
+        "--embedDim", str(E),
+        "--decoderDim", str(HID if is_lstm else FFN),
         "--maxLen", str(MAXLEN + 2), "--imageSize", str(IMG),
         "--encodedImageSize", str(POOL),
         "--encoderDepths", ",".join(map(str, DEPTHS)),
         "--encoderDims", ",".join(map(str, DIMS)),
         "--resultsDir", args.out,
     ]
+    if is_lstm:
+        cmd += ["--attentionDim", str(ATT)]
+    else:
+        cmd += ["--numLayers", str(L), "--numHeads", str(H)]
     log("running cli/test.py: " + " ".join(cmd[1:]))
     r = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True, text=True)
     sys.stderr.write(r.stdout[-2000:] + r.stderr[-2000:])
     r.check_returncode()
-    tpu_csv = os.path.join(args.out, "test-transformer-Finetuning5-None.csv")
+    tpu_csv = os.path.join(args.out, f"test-{dec_kind}-Finetuning5-None.csv")
     tpu_row = pd.read_csv(tpu_csv).iloc[0].to_dict()
     log(f"tpu eval:   {tpu_row}")
 
@@ -431,11 +689,13 @@ def main():
     ok = all(deltas[k] <= 1e-6 for k in ("bleu1", "bleu2", "bleu3", "bleu4"))
     ok = ok and deltas["testLoss"] <= 1e-3 and deltas["testTop5Acc"] <= 0.5
     summary = {
+        "decoder": dec_kind,
         "torch": torch_row, "tpu_captioner": tpu_row, "abs_deltas": deltas,
         "bleu_tolerance": 1e-6, "equal": ok,
         "config": {
             "depths": DEPTHS, "dims": DIMS, "embed_dim": E, "heads": H,
-            "layers": L, "ffn": FFN, "epochs": args.epochs,
+            "layers": L, "ffn": FFN, "attention_dim": ATT, "decoder_dim": HID,
+            "epochs": args.epochs,
             "dataset": "learnable synthetic, TRAIN 64 / TEST 16 images",
         },
     }

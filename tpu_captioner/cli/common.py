@@ -49,6 +49,8 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     # 6-layer transformer).  Used by small-scale experiments and the
     # cross-framework BLEU-parity artifacts (scripts/bleu_parity_torch.py).
     p.add_argument("--embedDim", type=int, default=None)
+    p.add_argument("--attentionDim", type=int, default=None,
+                   help="LSTM additive-attention width (reference train.py:40)")
     p.add_argument("--decoderDim", type=int, default=None)
     p.add_argument("--numLayers", type=int, default=None)
     p.add_argument("--numHeads", type=int, default=None)
@@ -67,6 +69,7 @@ def config_from_args(args) -> ExperimentConfig:
     model_kw = {}
     for arg, field_ in (
         ("embedDim", "embed_dim"), ("decoderDim", "decoder_dim"),
+        ("attentionDim", "attention_dim"),
         ("numLayers", "num_layers"), ("numHeads", "num_heads"),
         ("maxLen", "max_len"), ("encodedImageSize", "encoded_image_size"),
     ):

@@ -128,31 +128,60 @@ class DecoderWithAttention:
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (logits (B, L-1, V), alphas (B, L-1, P)); logits[:, t]
         predicts captions[:, t+1].  Unmasked — the loss applies the
-        decode-length mask (≡ the reference's shrinking batch_size_t)."""
+        decode-length mask (≡ the reference's shrinking batch_size_t).
+
+        MXU restructure (the 19%-MFU fix, BENCHMARKING.md round 4): the scan
+        body carries only the recurrence.  Everything whose inputs are known
+        up front is hoisted into big batched matmuls outside the scan —
+        the token half of the LSTM gate matmul ((B·T, E)@(E, 4D)), the vocab
+        head ((B·T, D)@(D, V), by far the largest matmul in the step), and
+        the dropout mask (one (B, T, D) draw instead of T per-step draws,
+        distribution-identical) — and the three h-dependent projections
+        (decoder_att, f_beta, w_hh) merge into ONE (B, D)@(D, A+C+4D) matmul
+        per step."""
         c = self.cfg
         enc = _flatten_pixels(encoder_out)
-        att1 = linear(p["attention"]["encoder_att"], enc)
+        att = p["attention"]
+        att1 = linear(att["encoder_att"], enc)
         h0, c0 = self.init_hidden_state(p, enc)
         embs = p["embedding"][captions[:, :-1]]  # (B, T, E)
-        T = embs.shape[1]
-        rngs = (
-            jax.random.split(rng, T)
-            if (rng is not None and not deterministic)
-            else jnp.zeros((T, 2), dtype=jnp.uint32)
-        )
+        E = embs.shape[-1]
+        A = att["decoder_att"]["b"].shape[0]
+        C = enc.shape[-1]
+        emb_gates = embs @ p["lstm"]["w_ih"][:E]  # (B, T, 4D)
+        wh = jnp.concatenate(
+            [att["decoder_att"]["w"], p["f_beta"]["w"], p["lstm"]["w_hh"]],
+            axis=1,
+        )  # (D, A + C + 4D)
+        w_full = att["full_att"]["w"][:, 0]  # (A,)
+        b_full = att["full_att"]["b"][0]
+        w_ih_c = p["lstm"]["w_ih"][E:]  # (C, 4D)
+        bias = p["lstm"]["b_ih"] + p["lstm"]["b_hh"]
 
-        def body(carry, xs):
+        def body(carry, emb_g):
             h, cc = carry
-            emb_t, rng_t = xs
-            h_new, c_new, alpha = self.step(p, h, cc, emb_t, enc, att1)
-            hid = dropout(h_new, c.dropout, rng_t, deterministic)
-            logits_t = linear(p["fc"], hid)
-            return (h_new, c_new), (logits_t, alpha)
+            hp = h @ wh  # merged h-projections (B, A+C+4D)
+            att2 = hp[:, :A] + att["decoder_att"]["b"]
+            scores = (
+                jax.nn.relu(att1 + att2[:, None, :]) @ w_full + b_full
+            )  # (B, P)
+            alpha = jax.nn.softmax(scores, axis=1)
+            ctx = jnp.einsum("bp,bpc->bc", alpha, enc)
+            gate = jax.nn.sigmoid(hp[:, A : A + C] + p["f_beta"]["b"])
+            gates = emb_g + (gate * ctx) @ w_ih_c + hp[:, A + C :] + bias
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f) * cc + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            return (h_new, c_new), (h_new, alpha)
 
-        _, (logits, alphas) = jax.lax.scan(
-            body, (h0, c0), (jnp.swapaxes(embs, 0, 1), rngs)
+        _, (hids, alphas) = jax.lax.scan(
+            body, (h0, c0), jnp.swapaxes(emb_gates, 0, 1), unroll=2
         )
-        return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(alphas, 0, 1)
+        hids = dropout(
+            jnp.swapaxes(hids, 0, 1), c.dropout, rng, deterministic
+        )  # (B, T, D), per-step masks in one draw (decoder.py:109)
+        logits = linear(p["fc"], hids)
+        return logits, jnp.swapaxes(alphas, 0, 1)
 
     # -- free running -------------------------------------------------------
     def rollout(
@@ -336,26 +365,31 @@ class DecoderWithoutAttention:
         rng: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        # Same MXU restructure as DecoderWithAttention.tf_forward: the token
+        # half of the gate matmul and the vocab head are hoisted out of the
+        # scan; the body is just the (B, D)@(D, 4D) recurrence.
         c = self.cfg
         enc = _flatten_pixels(encoder_out)
         h0, c0 = self.init_hidden_state(p, enc)
         embs = p["embedding"][captions[:, :-1]]
-        T = embs.shape[1]
-        rngs = (
-            jax.random.split(rng, T)
-            if (rng is not None and not deterministic)
-            else jnp.zeros((T, 2), dtype=jnp.uint32)
-        )
+        emb_gates = embs @ p["lstm"]["w_ih"] + (
+            p["lstm"]["b_ih"] + p["lstm"]["b_hh"]
+        )  # (B, T, 4D)
+        w_hh = p["lstm"]["w_hh"]
 
-        def body(carry, xs):
+        def body(carry, emb_g):
             h, cc = carry
-            emb_t, rng_t = xs
-            h_new, c_new = lstm_cell(p["lstm"], emb_t, h, cc)
-            hid = dropout(h_new, c.dropout, rng_t, deterministic)
-            return (h_new, c_new), linear(p["fc"], hid)
+            gates = emb_g + h @ w_hh
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f) * cc + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            return (h_new, c_new), h_new
 
-        _, logits = jax.lax.scan(body, (h0, c0), (jnp.swapaxes(embs, 0, 1), rngs))
-        return jnp.swapaxes(logits, 0, 1)
+        _, hids = jax.lax.scan(
+            body, (h0, c0), jnp.swapaxes(emb_gates, 0, 1), unroll=2
+        )
+        hids = dropout(jnp.swapaxes(hids, 0, 1), c.dropout, rng, deterministic)
+        return linear(p["fc"], hids)
 
     def rollout(
         self,
