@@ -82,9 +82,12 @@ def main():
     import jax.numpy as jnp
 
     from tpu_captioner.core.config import ModelConfig, TrainConfig
+    from tpu_captioner.core.prng import root_key, step_key
     from tpu_captioner.train.model import CaptionModel
     from tpu_captioner.train.state import TrainState, make_optimizer
     from tpu_captioner.train.steps import make_train_step
+
+    rkey = root_key(42)  # shipping PRNG (rbg on TPU — see core/prng.py)
 
     V = 9490  # COCO vocab size at min_word_freq=5 (order of magnitude)
     B = 32
@@ -116,14 +119,14 @@ def main():
 
     # Warmup/compile.
     t0 = time.perf_counter()
-    state, m = step(state, batch, jax.random.PRNGKey(0))
+    state, m = step(state, batch, step_key(rkey, "dropout", 0, 0))
     jax.block_until_ready(m["loss"])
     log(f"train step compile+first run: {time.perf_counter() - t0:.1f}s")
 
     iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
-        state, m = step(state, batch, jax.random.PRNGKey(i))
+        state, m = step(state, batch, step_key(rkey, "dropout", 0, i))
     float(m["loss"])  # host fetch: block_until_ready is unreliable via relay
     dt = time.perf_counter() - t0
     imgs_per_sec = B * iters / dt

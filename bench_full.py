@@ -32,9 +32,12 @@ def main():
     import jax.numpy as jnp
 
     from tpu_captioner.core.config import ModelConfig, TrainConfig
+    from tpu_captioner.core.prng import root_key, step_key
     from tpu_captioner.train.model import CaptionModel
     from tpu_captioner.train.state import TrainState, make_optimizer
     from tpu_captioner.train.steps import make_train_step
+
+    rkey = root_key(42)  # shipping PRNG (rbg on TPU — see core/prng.py)
 
     V, B = 9490, 32
     dtype = os.environ.get("BENCH_DTYPE", "float32")
@@ -104,13 +107,13 @@ def main():
             teacher_forcing=True, train_encoder=train_encoder,
         )
         t0 = time.perf_counter()
-        state, m = step(state, batch, jax.random.PRNGKey(0))
+        state, m = step(state, batch, step_key(rkey, "dropout", 0, 0))
         jax.block_until_ready(m["loss"])
         log(f"{name} compile+first: {time.perf_counter() - t0:.1f}s")
         n = 20
         t0 = time.perf_counter()
         for i in range(n):
-            state, m = step(state, batch, jax.random.PRNGKey(i))
+            state, m = step(state, batch, step_key(rkey, "dropout", 0, i))
         float(m["loss"])  # host fetch forces completion
         emit(name, (time.perf_counter() - t0) / n, ref,
              flops=train_step_flops(B, V, train_encoder=train_encoder))
@@ -217,13 +220,13 @@ def main():
         teacher_forcing=True, train_encoder=False,
     )
     t0 = time.perf_counter()
-    state, m = step(state, batch, jax.random.PRNGKey(0))
+    state, m = step(state, batch, step_key(rkey, "dropout", 0, 0))
     jax.block_until_ready(m["loss"])
     log(f"lstm compile+first: {time.perf_counter() - t0:.1f}s")
     n = 20
     t0 = time.perf_counter()
     for i in range(n):
-        state, m = step(state, batch, jax.random.PRNGKey(i))
+        state, m = step(state, batch, step_key(rkey, "dropout", 0, i))
     float(m["loss"])  # host fetch forces completion
     emit("tf_train_lstm_attention", (time.perf_counter() - t0) / n, 0.212,
          flops=train_step_flops(B, V, decoder="lstm"))

@@ -124,10 +124,10 @@ def main():
             lambda k: model.init_params(k, image_size=256), key_sds
         )
 
-    def train_program(train_encoder, B):
+    def train_program(train_encoder, B, decoder="transformer"):
         cfg = TrainConfig(batch_size=B, starting_layer=5)
         model = model_for(
-            "transformer",
+            decoder,
             finetune_use_pallas("auto") if train_encoder else "auto",
         )
         dec_opt = make_optimizer(cfg.decoder_lr, cfg.grad_clip)
@@ -161,6 +161,9 @@ def main():
         "tf_train_frozen_bs32": lambda: train_program(False, 32),
         "tf_train_frozen_bs64": lambda: train_program(False, 64),
         "tf_train_finetune_bs32": lambda: train_program(True, 32),
+        "lstm_tf_train_frozen_bs32": lambda: train_program(
+            False, 32, decoder="lstm"
+        ),
         "eval_step_bs32": lambda: eval_program("transformer"),
         "lstm_eval_bs32": lambda: eval_program("lstm"),
         "lstm_plain_eval_bs32": lambda: eval_program("lstm_no_attention"),

@@ -23,6 +23,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache for the CPU test backend: this 1-core host spends
+# most of the suite's wall time recompiling identical programs (full suite
+# >25 min cold).  Warm-cache reruns — the pre-commit-gate case — skip them.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest

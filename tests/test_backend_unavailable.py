@@ -90,3 +90,20 @@ def test_bench_emits_json_line_on_dead_backend(tmp_path):
     assert out["metric"] == "train_images_per_sec_per_chip"
     assert out["value"] == 0.0
     assert "error" in out
+
+
+def test_batch_size_48_warns():
+    """bs=48 is a measured v5e throughput cliff (BENCHMARKING.md); the
+    config must warn instead of silently losing ~40% throughput."""
+    import warnings
+
+    from tpu_captioner.core.config import TrainConfig
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        TrainConfig(batch_size=48)
+    assert any("cliff" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        TrainConfig(batch_size=64)
+    assert not w

@@ -117,6 +117,7 @@ def _reference_beam_oracle(model, params, enc_out, k, max_steps):
     return None, None
 
 
+@pytest.mark.slow
 def test_transformer_beam_matches_reference_algorithm():
     model, params = tiny_model("transformer")
     enc_out = model.encode(params, jnp.zeros((1, 32, 32, 3), jnp.uint8) + 91)

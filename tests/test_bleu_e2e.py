@@ -28,6 +28,7 @@ def learnable_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_val_bleu4_reaches_threshold(learnable_dir, tmp_path):
     mc = tiny_model_cfg(0)
     mc.dropout = 0.0

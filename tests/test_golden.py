@@ -22,6 +22,7 @@ from tpu_captioner.train.loop import Trainer
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "tiny_transformer.json")
 
 
+@pytest.mark.slow
 def test_tiny_transformer_golden(tmp_path):
     d = tmp_path / "data"
     build_synthetic_dataset(

@@ -15,6 +15,8 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+@pytest.mark.slow  # the driver runs dryrun_multichip itself every round;
+# this in-suite copy is execution-bound (~2 min warm on the 1-core host)
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
 

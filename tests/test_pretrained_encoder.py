@@ -91,6 +91,7 @@ def _tiny_exp(dataset_dir, tmp_path, backbone_path):
     )
 
 
+@pytest.mark.slow
 def test_trainer_inits_from_npz_and_finetunes(dataset_dir, tmp_path, backbone_npz):
     from tpu_captioner.train.loop import Trainer
 

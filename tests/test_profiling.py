@@ -7,6 +7,8 @@ code path itself)."""
 
 import os
 
+import pytest
+
 from tpu_captioner.core.config import (
     DataConfig,
     ExperimentConfig,
@@ -18,6 +20,7 @@ from tpu_captioner.train.loop import Trainer
 from tests.test_train_loop import BASE, MAXLEN, tiny_model_cfg, tiny_train_cfg
 
 
+@pytest.mark.slow
 def test_trainer_profiling_writes_trace(tmp_path):
     d = tmp_path / "data"
     build_synthetic_dataset(

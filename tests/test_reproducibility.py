@@ -57,6 +57,7 @@ def data_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_same_seed_runs_are_identical(data_dir, tmp_path):
     r1 = Trainer(make_exp(tmp_path, "a"), data_dir, BASE, verbose=False).run()
     r2 = Trainer(make_exp(tmp_path, "b"), data_dir, BASE, verbose=False).run()
@@ -64,6 +65,7 @@ def test_same_seed_runs_are_identical(data_dir, tmp_path):
         assert r1[0][k] == r2[0][k], (k, r1[0][k], r2[0][k])
 
 
+@pytest.mark.slow
 def test_overfitting_tiny_dataset_reduces_loss(tmp_path):
     d = tmp_path / "learnable"
     build_synthetic_dataset(

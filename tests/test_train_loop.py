@@ -163,6 +163,7 @@ def test_eval_step_outputs(dataset_dir):
     )
 
 
+@pytest.mark.slow
 def test_trainer_full_run_and_resume(dataset_dir, tmp_path):
     exp = ExperimentConfig(
         data=DataConfig(batch_size=8, image_size=32),
@@ -292,6 +293,7 @@ def test_trainer_finetune_model_runs_stage4_on_xla(dataset_dir, tmp_path):
     assert tr2.ft_model is tr2.model  # user's per-stage choice wins
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device(dataset_dir):
     batch_host, _ = first_batch(dataset_dir)
     model, state, dec_opt, enc_opt, tc, wid = make_model_and_state(dataset_dir)

@@ -147,6 +147,22 @@ class TrainConfig:
     results_dir: str = "results"
     checkpoint_dir: str = "checkpoints"
 
+    def __post_init__(self):
+        # bs=48 is a measured throughput cliff on v5e (633 img/s vs 1072 at
+        # bs=32 and 1008 at bs=64 in the shipping-default table) that no
+        # scoped-VMEM limit fixes and that power-of-two batches never see —
+        # see BENCHMARKING.md "Batch-size scaling, root-caused".  Warn loudly
+        # rather than silently eating ~40% of the chip.
+        if self.batch_size == 48:
+            import warnings
+
+            warnings.warn(
+                "batch_size=48 hits a measured XLA-tiling throughput cliff "
+                "on TPU v5e (~633 img/s vs ~1008 at batch_size=64; "
+                "BENCHMARKING.md 'Batch-size scaling'). Use 32 or 64.",
+                stacklevel=2,
+            )
+
 
 @dataclass
 class ExperimentConfig:

@@ -14,8 +14,27 @@ import jax
 _PURPOSES = {"dropout": 0, "stochastic_depth": 1, "init": 2, "data": 3, "rollout": 4}
 
 
-def root_key(seed: int = 42) -> jax.Array:
-    return jax.random.PRNGKey(seed)
+def root_key(seed: int = 42, impl: str | None = None) -> jax.Array:
+    """Root key for a run.
+
+    On TPU the default implementation is ``rbg`` (hardware-friendly counter
+    RNG): the flagship TF train step draws ~30M dropout-mask bits per step
+    across the decoder's 40+ masks, and threefry2x32 spends ~1.9 ms/step of
+    pure VPU time generating them (BENCHMARKING.md round-3 decomposition).
+    rbg lowers to the TPU PRNG instructions instead.  Same reproducibility
+    contract (same seed -> same run, tests/test_reproducibility.py) —
+    stream VALUES differ from threefry, which nothing depends on.
+    Elsewhere (CPU tests) the jax default threefry is kept.
+    """
+    if impl is None:
+        from tpu_captioner.core.backend import on_tpu
+
+        impl = "rbg" if on_tpu() else None
+    if impl is None:
+        return jax.random.PRNGKey(seed)
+    # Typed key: carries the impl through fold_in/split (a legacy uint32
+    # PRNGKey would be re-interpreted as threefry by downstream calls).
+    return jax.random.key(seed, impl=impl)
 
 
 def step_key(root: jax.Array, purpose: str, epoch: int, step, host: int = 0):
