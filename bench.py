@@ -117,16 +117,20 @@ def main():
         teacher_forcing=True, train_encoder=False,
     )
 
-    # Warmup/compile.
+    # Warmup/compile.  Keys are prebuilt OUTSIDE the timed loop — each
+    # step_key chains fold_in dispatches, and relay dispatch cost must not
+    # leak into the measured region.
+    iters = 20
+    keys = [step_key(rkey, "dropout", 0, i) for i in range(iters + 1)]
+    jax.block_until_ready(keys)
     t0 = time.perf_counter()
-    state, m = step(state, batch, step_key(rkey, "dropout", 0, 0))
+    state, m = step(state, batch, keys[iters])
     jax.block_until_ready(m["loss"])
     log(f"train step compile+first run: {time.perf_counter() - t0:.1f}s")
 
-    iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
-        state, m = step(state, batch, step_key(rkey, "dropout", 0, i))
+        state, m = step(state, batch, keys[i])
     float(m["loss"])  # host fetch: block_until_ready is unreliable via relay
     dt = time.perf_counter() - t0
     imgs_per_sec = B * iters / dt

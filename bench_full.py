@@ -26,6 +26,19 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
     import jax
 
+    from bench import backend_ready  # timeout-guarded jax.devices() probe
+
+    if not backend_ready():
+        # Same dead-relay degradation contract as bench.py: one parseable
+        # JSON line, rc=0, hard exit past any hung init threads.
+        print(json.dumps({
+            "metric": "bench_full",
+            "value": 0.0,
+            "error": "TPU backend unavailable (relay down?)",
+        }))
+        sys.stdout.flush()
+        os._exit(0)
+
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -38,6 +51,10 @@ def main():
     from tpu_captioner.train.steps import make_train_step
 
     rkey = root_key(42)  # shipping PRNG (rbg on TPU — see core/prng.py)
+    # Keys prebuilt outside every timed loop: step_key chains fold_in
+    # dispatches, and relay dispatch cost must not leak into timed regions.
+    step_keys = [step_key(rkey, "dropout", 0, i) for i in range(21)]
+    jax.block_until_ready(step_keys)
 
     V, B = 9490, 32
     dtype = os.environ.get("BENCH_DTYPE", "float32")
@@ -107,13 +124,13 @@ def main():
             teacher_forcing=True, train_encoder=train_encoder,
         )
         t0 = time.perf_counter()
-        state, m = step(state, batch, step_key(rkey, "dropout", 0, 0))
+        state, m = step(state, batch, step_keys[20])
         jax.block_until_ready(m["loss"])
         log(f"{name} compile+first: {time.perf_counter() - t0:.1f}s")
         n = 20
         t0 = time.perf_counter()
         for i in range(n):
-            state, m = step(state, batch, step_key(rkey, "dropout", 0, i))
+            state, m = step(state, batch, step_keys[i])
         float(m["loss"])  # host fetch forces completion
         emit(name, (time.perf_counter() - t0) / n, ref,
              flops=train_step_flops(B, V, train_encoder=train_encoder))
@@ -220,13 +237,13 @@ def main():
         teacher_forcing=True, train_encoder=False,
     )
     t0 = time.perf_counter()
-    state, m = step(state, batch, step_key(rkey, "dropout", 0, 0))
+    state, m = step(state, batch, step_keys[20])
     jax.block_until_ready(m["loss"])
     log(f"lstm compile+first: {time.perf_counter() - t0:.1f}s")
     n = 20
     t0 = time.perf_counter()
     for i in range(n):
-        state, m = step(state, batch, step_key(rkey, "dropout", 0, i))
+        state, m = step(state, batch, step_keys[i])
     float(m["loss"])  # host fetch forces completion
     emit("tf_train_lstm_attention", (time.perf_counter() - t0) / n, 0.212,
          flops=train_step_flops(B, V, decoder="lstm"))

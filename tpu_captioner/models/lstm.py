@@ -177,6 +177,8 @@ class DecoderWithAttention:
         _, (hids, alphas) = jax.lax.scan(
             body, (h0, c0), jnp.swapaxes(emb_gates, 0, 1), unroll=2
         )
+        if rng is None:  # zeros-key fallback, as the pre-hoist scan had
+            rng = jnp.zeros((2,), dtype=jnp.uint32)
         hids = dropout(
             jnp.swapaxes(hids, 0, 1), c.dropout, rng, deterministic
         )  # (B, T, D), per-step masks in one draw (decoder.py:109)
@@ -388,6 +390,8 @@ class DecoderWithoutAttention:
         _, hids = jax.lax.scan(
             body, (h0, c0), jnp.swapaxes(emb_gates, 0, 1), unroll=2
         )
+        if rng is None:  # zeros-key fallback, as the pre-hoist scan had
+            rng = jnp.zeros((2,), dtype=jnp.uint32)
         hids = dropout(jnp.swapaxes(hids, 0, 1), c.dropout, rng, deterministic)
         return linear(p["fc"], hids)
 
