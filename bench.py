@@ -87,7 +87,7 @@ def main():
     from tpu_captioner.train.state import TrainState, make_optimizer
     from tpu_captioner.train.steps import make_train_step
 
-    rkey = root_key(42)  # shipping PRNG (rbg on TPU — see core/prng.py)
+    rkey = root_key(42)  # shipping PRNG (threefry; rbg reverted — core/prng.py)
 
     V = 9490  # COCO vocab size at min_word_freq=5 (order of magnitude)
     B = 32

@@ -50,7 +50,7 @@ def main():
     from tpu_captioner.train.state import TrainState, make_optimizer
     from tpu_captioner.train.steps import make_train_step
 
-    rkey = root_key(42)  # shipping PRNG (rbg on TPU — see core/prng.py)
+    rkey = root_key(42)  # shipping PRNG (threefry; rbg reverted — core/prng.py)
     # Keys prebuilt outside every timed loop: step_key chains fold_in
     # dispatches, and relay dispatch cost must not leak into timed regions.
     step_keys = [step_key(rkey, "dropout", 0, i) for i in range(21)]

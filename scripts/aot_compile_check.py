@@ -98,10 +98,10 @@ def main():
 
     V = 9490
     wid = {"<pad>": 0, "<unk>": V - 3, "<start>": V - 2, "<end>": V - 1}
-    # Typed rbg key: the shipping TPU path (core/prng.py root_key) feeds the
-    # train steps typed rbg keys, which lower dropout to different HLO than
-    # threefry — the gate must compile the program that actually runs.
-    key_sds = jax.eval_shape(lambda: jax.random.key(0, impl="rbg"))
+    # threefry key, matching the shipping path (core/prng.py root_key): rbg
+    # was reverted after measuring 433.7 vs 27.0 ms/step on the v5e — the
+    # gate must compile the program that actually runs.
+    key_sds = jax.eval_shape(lambda: jax.random.PRNGKey(0))
 
     def sds(shape, dtype):
         return jax.ShapeDtypeStruct(shape, dtype)

@@ -1,9 +1,10 @@
 """PRNG discipline tests (core/prng.py).
 
-The training path ships ``rbg`` typed keys on TPU (fast hardware mask
-generation for the ~40 dropout draws per TF step); CPU tests force the same
-impl explicitly to pin that every consumer — fold_in chains, in-jit splits,
-dropout, scheduled sampling — accepts a typed rbg key.
+The shipping default is threefry everywhere (rbg measured 16x SLOWER on the
+v5e train step — see root_key's docstring); ``rbg`` remains a supported
+opt-in, so these tests force it explicitly to pin that every consumer —
+fold_in chains, in-jit splits, dropout, scheduled sampling — still accepts
+a typed rbg key.
 """
 
 import jax

@@ -15,31 +15,24 @@ _PURPOSES = {"dropout": 0, "stochastic_depth": 1, "init": 2, "data": 3, "rollout
 
 
 def root_key(seed: int = 42, impl: str | None = None) -> jax.Array:
-    """Root key for a run.
+    """Root key for a run.  Default: jax's threefry2x32, everywhere.
 
-    On TPU the default implementation is ``rbg`` (hardware-friendly counter
-    RNG): the flagship TF train step draws ~30M dropout-mask bits per step
-    across the decoder's 40+ masks, and threefry2x32 spends ~1.9 ms/step of
-    pure VPU time generating them (BENCHMARKING.md round-3 decomposition).
-    rbg lowers to the TPU PRNG instructions instead.  Elsewhere (CPU tests)
-    the jax default threefry is kept.
-
-    Caveats (trade-offs accepted for training dropout, nothing else):
-    same-seed reruns on the SAME topology are reproducible, but rbg bit
-    streams are implementation-defined under SPMD partitioning — masks may
-    differ between mesh shapes (e.g. 8-chip DP vs single chip) and across
-    jax/XLA upgrades.  Anything needing cross-topology bit-exactness can
-    force threefry with ``TPU_CAPTIONER_PRNG_IMPL=threefry2x32`` (the CPU
-    test suite pins the threefry invariants).
+    ``rbg`` (the TPU hardware counter RNG) was the round-3 default on TPU,
+    on the theory that threefry's ~1.9 ms/step of dropout-mask generation
+    (BENCHMARKING.md round-3 decomposition) would lower to near-free PRNG
+    instructions.  MEASURED on the v5e relay (2026-08-18, libtpu at HEAD):
+    the flagship TF train step runs 433.7 ms/step with an rbg key vs
+    27.0 ms/step with threefry — a 16x pathological slowdown in how this
+    compiler lowers rbg dropout inside the fused train program, not a win.
+    rbg therefore remains opt-in only (``TPU_CAPTIONER_PRNG_IMPL=rbg``);
+    re-measure before ever flipping the default back.  threefry also keeps
+    masks bit-exact across topologies and jax upgrades, which rbg does not
+    guarantee under SPMD partitioning.
     """
     if impl is None:
         import os
 
         impl = os.environ.get("TPU_CAPTIONER_PRNG_IMPL")
-    if impl is None:
-        from tpu_captioner.core.backend import on_tpu
-
-        impl = "rbg" if on_tpu() else None
     if impl == "threefry2x32":
         impl = None  # jax default
     if impl is None:
