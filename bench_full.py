@@ -223,6 +223,7 @@ def main():
         "baseline_source": baseline_source,
     }
     print(json.dumps(row), flush=True)
+    results.append(row)
 
     # 4) LSTM+attention TF train (ref ~0.212 s/batch, BASELINE.md).
     lstm_model = CaptionModel(
@@ -248,16 +249,17 @@ def main():
     emit("tf_train_lstm_attention", (time.perf_counter() - t0) / n, 0.212,
          flops=train_step_flops(B, V, decoder="lstm"))
 
-    results.append(row)
     # Non-default dtypes write a suffixed artifact so the committed f32
-    # table isn't clobbered by a bf16 sweep.
+    # table isn't clobbered by a bf16 sweep.  JSONL (one row per line,
+    # matching stdout) so a partially-captured run still parses line-wise.
     out = (
         "BENCH_FULL.json"
         if dtype == "float32"
         else f"BENCH_FULL_{dtype}.json"
     )
     with open(out, "w") as f:
-        json.dump(results, f, indent=2)
+        for r in results:
+            f.write(json.dumps(r) + "\n")
 
 
 if __name__ == "__main__":
