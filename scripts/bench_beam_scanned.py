@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--kernel", default="auto")  # decode_kernel config
     ap.add_argument("--decoder", default="transformer")  # or 'lstm'
+    ap.add_argument("--encoder-kernel", default="auto")  # use_pallas config
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
@@ -53,7 +54,7 @@ def main():
     K1, K2 = 2, 7
     model = CaptionModel(ModelConfig(
         decoder=args.decoder, vocab_size=V, compute_dtype=args.dtype,
-        decode_kernel=args.kernel,
+        decode_kernel=args.kernel, use_pallas=args.encoder_kernel,
     ))
     params = jax.jit(lambda k: model.init_params(k, image_size=256))(
         jax.random.PRNGKey(0)
@@ -90,7 +91,8 @@ def main():
         "value": round(B / sec, 2),
         "sec_per_batch": round(sec, 5),
         "batch": B, "beam": args.beam, "dtype": args.dtype,
-        "kernel": args.kernel, "decoder": args.decoder,
+        "kernel": args.kernel, "encoder_kernel": args.encoder_kernel,
+        "decoder": args.decoder,
         "k1_s": round(t1, 4), "k2_s": round(t2, 4),
     }), flush=True)
 

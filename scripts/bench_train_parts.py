@@ -116,6 +116,34 @@ def main():
 
         bench_scanned(name, full_grad, imgs_k2)
 
+    # 1b) Same fused-encoder grad WITH train-mode dropout (rng threaded),
+    # per mask source: the delta vs tf_frozen_grad_mlp is the dropout cost
+    # (mask generation + apply + its backward) the deterministic variants
+    # exclude, and pool-vs-threefry is the ops/dropout_mask.py win.
+    for masks in ("pool", "threefry"):
+        name = f"tf_frozen_grad_mlp_dropout_{masks}"
+        if not want(name):
+            continue
+        m_drop = CaptionModel(dataclasses.replace(
+            base_cfg, use_pallas="on", dropout_masks=masks,
+        ))
+        key0 = jax.random.PRNGKey(7)
+
+        def full_grad_dropout(p, im, m_drop=m_drop):
+            def dec_loss(dec_params):
+                pp = {"encoder": jax.lax.stop_gradient(p["encoder"]),
+                      "decoder": dec_params}
+                batch = {"images": im, "captions": captions,
+                         "caplens": caplens, "valid": valid}
+                # Per-iteration key folded from on-device image data so the
+                # scan iterations stay distinct without host dispatches.
+                key = jax.random.fold_in(key0, im[0, 0, 0, 0].astype(jnp.int32))
+                return tf_loss(m_drop, pp, batch, 1.0, key, False)[0]
+
+            return gsum(jax.grad(dec_loss)(p["decoder"]))
+
+        bench_scanned(name, full_grad_dropout, imgs_k2)
+
     # 2) Decoder-only variants on a precomputed encoder output.
     enc0 = jax.jit(
         lambda p, im: model.encode(p, im, deterministic=True)

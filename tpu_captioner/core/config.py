@@ -95,6 +95,12 @@ class ModelConfig:
     # Rematerialize ConvNeXt blocks in the backward pass ('auto' keeps it on;
     # see models/convnext.py Stage for the measured trade-offs).
     encoder_remat: str = "auto"  # 'auto' | 'on' | 'off'
+    # Dropout mask source for TF train steps: 'pool' generates the whole
+    # step's ~30M mask bits in ONE hardware-PRNG Pallas launch
+    # (ops/dropout_mask.py) instead of ~38 per-site threefry draws
+    # (~2 ms/step); 'auto' -> pool on TPU, threefry elsewhere.  Pool masks
+    # are distribution-identical but a different stream than threefry's.
+    dropout_masks: str = "auto"  # 'auto' | 'pool' | 'threefry'
 
     def __post_init__(self):
         if self.decoder not in DECODER_TYPES:

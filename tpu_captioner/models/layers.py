@@ -81,13 +81,74 @@ def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
+class MaskPool:
+    """Flat pool of precomputed dropout keep-bits, consumed in trace order.
+
+    One hardware-PRNG Pallas launch (ops/dropout_mask.py) fills the pool
+    for a whole train step; each `dropout` site slices its elements out.
+    Offsets are Python ints advanced at TRACE time — deterministic because
+    tracing is — so the same program always assigns the same pool ranges
+    to the same sites.  Overdraw raises at trace (= compile) time, never
+    silently."""
+
+    def __init__(self, bits: jnp.ndarray, keep: Optional[float] = None):
+        self.bits = bits
+        self.keep = keep
+        self.offset = 0
+
+    def take(self, shape, keep: Optional[float] = None) -> jnp.ndarray:
+        if (
+            keep is not None and self.keep is not None
+            and abs(keep - self.keep) > 1e-9
+        ):
+            raise ValueError(
+                f"dropout site keep={keep} != pool keep={self.keep}; the "
+                "pool is drawn at ONE rate — route this site around the pool"
+            )
+        n = math.prod(shape)
+        if self.offset + n > self.bits.shape[0]:
+            raise ValueError(
+                f"dropout mask pool exhausted: need {n} at offset "
+                f"{self.offset}, pool holds {self.bits.shape[0]}"
+            )
+        sl = jax.lax.slice_in_dim(self.bits, self.offset, self.offset + n)
+        self.offset += n
+        return sl.reshape(shape)
+
+
+_ACTIVE_MASK_POOL: Optional[MaskPool] = None
+
+
+class mask_pool_scope:
+    """Context manager installing a MaskPool for dropout() calls traced
+    inside it (models/transformer.py / lstm.py sites all route through
+    layers.dropout, so one scope covers a full decoder forward)."""
+
+    def __init__(self, pool: Optional[MaskPool]):
+        self.pool = pool
+
+    def __enter__(self):
+        global _ACTIVE_MASK_POOL
+        self._prev = _ACTIVE_MASK_POOL
+        _ACTIVE_MASK_POOL = self.pool
+        return self.pool
+
+    def __exit__(self, *exc):
+        global _ACTIVE_MASK_POOL
+        _ACTIVE_MASK_POOL = self._prev
+        return False
+
+
 def dropout(
     x: jnp.ndarray, rate: float, rng: Optional[jax.Array], deterministic: bool
 ) -> jnp.ndarray:
     if deterministic or rate == 0.0:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
+    if _ACTIVE_MASK_POOL is not None:
+        mask = _ACTIVE_MASK_POOL.take(x.shape, keep)
+    else:
+        mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 

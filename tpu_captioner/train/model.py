@@ -49,18 +49,18 @@ class CaptionModel:
         c = self.cfg
         dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
         # Pallas mode for the ConvNeXt blocks: 'auto' -> fused MLP-tail
-        # kernel on TPU for transformer-decoder models (train: 39.1 -> 26.6
-        # ms/step; eval encoder fwd: 28.9 -> 18.3 ms at bs=32 under
-        # dispatch-free measurement — the round-2 belief that the kernel
-        # loses in rollout programs was a relay measurement artifact, see
-        # BENCHMARKING.md round 3), XLA elsewhere.
+        # kernel on TPU for ALL decoder families (train: 39.1 -> 26.6
+        # ms/step transformer; eval encoder fwd: 28.9 -> 18.3 ms at bs=32;
+        # LSTM+att TF train 30.8 -> 22.0 ms bf16, MFU 22.9 -> 32.1%, scanned
+        # A/B 2026-08-18 — the round-2 transformer-only restriction was a
+        # relay measurement artifact twice over, see BENCHMARKING.md
+        # rounds 3-4), XLA elsewhere.
         # 'block' -> fully-fused block kernel; 'on' == 'mlp'; 'off' -> XLA.
         def resolve(mode):
             if mode == "auto":
                 from tpu_captioner.core.backend import on_tpu
 
-                transformer = c.decoder in ("transformer", "transformer_attvis")
-                return "mlp" if (on_tpu() and transformer) else "off"
+                return "mlp" if on_tpu() else "off"
             if mode in ("on", True):
                 return "mlp"
             if mode in (False, "off"):

@@ -36,8 +36,60 @@ from tpu_captioner.eval.metrics import (
     topk_correct,
 )
 from tpu_captioner.models.encoder import fine_tune_mask
+from tpu_captioner.models.layers import MaskPool, mask_pool_scope
 from tpu_captioner.train.model import CaptionModel
 from tpu_captioner.train.state import TrainState, zero_frozen
+
+
+# ---------------------------------------------------------------------------
+# Dropout mask pool (one hardware-PRNG launch per train step)
+# ---------------------------------------------------------------------------
+
+class _CountingPool:
+    """Trace-time stand-in that measures a forward's mask demand.  take()
+    returns zeros so the counting trace stays well-typed; its outputs are
+    discarded, so XLA dead-code-eliminates the whole counting forward."""
+
+    def __init__(self):
+        self.total = 0
+
+    def take(self, shape, keep=None):
+        import math
+
+        self.total += math.prod(shape)
+        return jnp.zeros(shape, bool)
+
+
+_POOL_DEMAND_CACHE: Dict[tuple, int] = {}
+
+
+def _pooled_tf_forward(model, params, enc_out, caps, rng):
+    """model.tf_forward with train-mode dropout fed from ONE pooled
+    hardware-PRNG draw (ops/dropout_mask.py) instead of ~38 per-site
+    threefry draws (~2 ms/step at flagship shape).  Mask demand is counted
+    by a discarded (DCE'd) trace, cached per (config, shapes)."""
+    ck = (repr(model.cfg), enc_out.shape, str(enc_out.dtype), caps.shape)
+    n = _POOL_DEMAND_CACHE.get(ck)
+    if n is None:
+        cp = _CountingPool()
+        with mask_pool_scope(cp):
+            model.tf_forward(
+                params, enc_out, caps, rng=rng, deterministic=False
+            )
+        n = _POOL_DEMAND_CACHE[ck] = cp.total
+    if n == 0:
+        return model.tf_forward(
+            params, enc_out, caps, rng=rng, deterministic=False
+        )
+    from tpu_captioner.core.backend import on_tpu
+    from tpu_captioner.ops.dropout_mask import random_mask_pool
+
+    keep = 1.0 - model.cfg.dropout
+    bits = random_mask_pool(rng, n, keep, on_tpu=on_tpu())
+    with mask_pool_scope(MaskPool(bits, keep)):
+        return model.tf_forward(
+            params, enc_out, caps, rng=rng, deterministic=False
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -63,9 +115,18 @@ def tf_loss(
     enc_out = model.encode(
         params, batch["images"], deterministic=deterministic, rng=enc_rng
     )
-    logits, alphas = model.tf_forward(
-        params, enc_out, caps, rng=dec_rng, deterministic=deterministic
-    )
+    dm = model.cfg.dropout_masks
+    if dm == "auto":
+        from tpu_captioner.core.backend import on_tpu
+
+        dm = "pool" if on_tpu() else "threefry"
+    if dm == "pool" and not deterministic and dec_rng is not None \
+            and model.cfg.dropout > 0.0:
+        logits, alphas = _pooled_tf_forward(model, params, enc_out, caps, dec_rng)
+    else:
+        logits, alphas = model.tf_forward(
+            params, enc_out, caps, rng=dec_rng, deterministic=deterministic
+        )
     T = logits.shape[1]
     decode_len = caplens - 1  # don't decode at <end> (decoder.py:91)
     tmask = (jnp.arange(T)[None, :] < decode_len[:, None]) & valid[:, None]
