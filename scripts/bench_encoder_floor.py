@@ -11,6 +11,14 @@ MLP matmuls, VPU for dwconv/GELU/LN, HBM DMA); a perfect implementation
 costs max(engine sums) and any implementation costs at least the largest
 single engine sum.  Comparing the measured encoder forward against the
 serial sum shows how much the fusion already buys.
+
+Measurement notes (the 2026-08-18 first run produced sub-noise values,
+several negative — artifacts/r04_queue/q_enc_floor.json):
+- each scan length is timed ``reps`` times and the MIN taken (relay
+  jitter is additive, so min estimates true device time);
+- every scanned body ends in a jnp.sum over the primitive's output (to
+  defeat DCE), which costs ~one extra read of that output; a sum-only
+  baseline is measured per shape and subtracted (``*_adj`` metrics).
 """
 
 import json
@@ -32,6 +40,7 @@ STAGES = [  # (depth, H=W, C) — ConvNeXt-Base at 256px
 ]
 B = 32
 K1, K2 = 3, 13
+REPS = 5
 
 
 def main():
@@ -52,6 +61,7 @@ def main():
         """fn: (x_i, w) -> scalar, scanned over K distinct inputs."""
         sec, _, _ = scanned_quotient(
             lambda w, xi: fn(xi, w), w, x, k1=K1, k2=K2, log=log, name=name,
+            reps=REPS,
         )
         print(json.dumps({"metric": name, "sec": round(sec, 6)}), flush=True)
         return sec
@@ -77,6 +87,14 @@ def main():
         jax.block_until_ready(hs)
         float(xs.ravel()[0])
         float(hs.ravel()[0])
+
+        # Sum-only baselines: what jnp.sum over each operand shape costs.
+        sum_x = bench_scanned(
+            f"sumx_{hw}x{hw}x{c}", lambda xi, w: jnp.sum(xi), xs, w,
+        )
+        sum_h = bench_scanned(
+            f"sumh_{hw}x{hw}x{4 * c}", lambda hi, w: jnp.sum(hi), hs, w,
+        )
 
         res = {}
         res["dwconv"] = bench_scanned(
@@ -113,9 +131,18 @@ def main():
             lambda xi, w: jnp.sum(xi * 1.0001),
             xs, w,
         )
-        per_stage.append({"stage": f"{hw}x{hw}x{c}", "depth": depth, **{
-            k: round(v, 6) for k, v in res.items()}})
-        for k, v in res.items():
+        # Subtract the sum-only baseline of each primitive's OUTPUT shape
+        # (the anti-DCE jnp.sum reads the whole output once).
+        baseline = {"dwconv": sum_x, "mm1": sum_h, "mm2": sum_x,
+                    "gelu": sum_h, "ln": sum_x, "copy": sum_x}
+        adj = {k: max(v - baseline[k], 0.0) for k, v in res.items()}
+        per_stage.append({
+            "stage": f"{hw}x{hw}x{c}", "depth": depth,
+            **{k: round(v, 6) for k, v in res.items()},
+            **{f"{k}_adj": round(v, 6) for k, v in adj.items()},
+            "sum_x": round(sum_x, 6), "sum_h": round(sum_h, 6),
+        })
+        for k, v in adj.items():
             totals[k] = totals.get(k, 0.0) + depth * v
 
     print(json.dumps({"per_stage": per_stage}), flush=True)

@@ -27,6 +27,7 @@ def scanned_quotient(
     opts: Optional[dict] = None,  # jit compiler_options
     log: Optional[Callable[[str], None]] = None,
     name: str = "",
+    reps: int = 1,  # timed repetitions per scan length; min is reported
 ) -> Tuple[float, float, float]:
     """Returns (sec_per_iteration, t_k1, t_k2).  ``scalar_fn(params, x)``
     must return a f32 scalar whose value depends on the whole step (the
@@ -48,10 +49,17 @@ def scanned_quotient(
     float(f2(params, xs))
     if log is not None:
         log(f"{name} compile+first: {time.perf_counter() - t0:.1f}s")
-    t1 = time.perf_counter()
-    float(f1(params, xs))
-    t1 = time.perf_counter() - t1
-    t2 = time.perf_counter()
-    float(f2(params, xs))
-    t2 = time.perf_counter() - t2
+
+    def timed(f):
+        # Min over reps: relay jitter is strictly additive, so the minimum
+        # is the cleanest estimate of the true device time.  reps=1 keeps
+        # the historical single-shot behavior.
+        best = float("inf")
+        for _ in range(max(1, reps)):
+            t = time.perf_counter()
+            float(f(params, xs))
+            best = min(best, time.perf_counter() - t)
+        return best
+
+    t1, t2 = timed(f1), timed(f2)
     return (t2 - t1) / (k2 - k1), t1, t2
