@@ -37,7 +37,13 @@ _TILE_COLS = 1024
 
 
 def _mask_kernel(seed_ref, o_ref, *, threshold):
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    # Mosaic on this libtpu rejects >2 seed words ("Setting seed with more
+    # than 2 values is not supported"), so fold the grid-cell index into the
+    # second word: a Weyl step by the odd constant 0x9E3779B9 keeps distinct
+    # cells on distinct seeds (injective in uint32 because the constant is
+    # odd), giving each cell its own stream from a 2-word seed.
+    cell = jnp.uint32(pl.program_id(0))
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] + cell * jnp.uint32(0x9E3779B9))
     bits = pltpu.bitcast(
         pltpu.prng_random_bits(o_ref.shape), jnp.uint32
     )
