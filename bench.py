@@ -114,27 +114,38 @@ def main():
 
     step = make_train_step(
         model, tc, word_ids, dec_opt, enc_opt,
-        teacher_forcing=True, train_encoder=False,
+        teacher_forcing=True, train_encoder=False, raw=True,
     )
 
-    # Warmup/compile.  Keys are prebuilt OUTSIDE the timed loop — each
-    # step_key chains fold_in dispatches, and relay dispatch cost must not
-    # leak into the measured region.
-    iters = 20
-    keys = [step_key(rkey, "dropout", 0, i) for i in range(iters + 1)]
-    jax.block_until_ready(keys)
-    t0 = time.perf_counter()
-    state, m = step(state, batch, keys[iters])
-    jax.block_until_ready(m["loss"])
-    log(f"train step compile+first run: {time.perf_counter() - t0:.1f}s")
+    # Dispatch-free timing: the step scanned over K distinct image batches
+    # + keys inside ONE program, at two scan lengths; the per-step time is
+    # the difference quotient (relay per-dispatch overhead, ~2-3 ms/step
+    # when measured with a chained Python loop, cancels — see
+    # tpu_captioner/eval/benchlib.py and BENCHMARKING.md "Measurement
+    # hygiene").  Same instrument the eval/beam rows of bench_full use.
+    from tpu_captioner.eval.benchlib import scanned_train_quotient
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = step(state, batch, keys[i])
-    float(m["loss"])  # host fetch: block_until_ready is unreliable via relay
-    dt = time.perf_counter() - t0
-    imgs_per_sec = B * iters / dt
-    log(f"{iters} steps: {dt:.2f}s ({dt/iters*1e3:.1f} ms/step)")
+    K1, K2 = 3, 13
+    keys = jnp.stack([step_key(rkey, "dropout", 0, i) for i in range(K2)])
+    imgs_k2 = jax.jit(
+        lambda x: x[None] + jnp.arange(1, K2 + 1, dtype=jnp.uint8)[
+            :, None, None, None, None
+        ]
+    )(batch["images"])
+    jax.block_until_ready((keys, imgs_k2))
+
+    def one_step(st, x):
+        im, key = x
+        st, m = step(st, dict(batch, images=im), key)
+        return st, m["loss"]
+
+    sec, t1, t2 = scanned_train_quotient(
+        one_step, state, (imgs_k2, keys), k1=K1, k2=K2, reps=3,
+        log=log, name="train step",
+    )
+    dt, iters = sec * K2, K2  # keep the log line's shape
+    imgs_per_sec = B / sec
+    log(f"scanned: t_k1={t1:.3f}s t_k2={t2:.3f}s ({sec*1e3:.1f} ms/step)")
 
     baseline_per_gpu = 32 / 0.172  # ≈186 imgs/s/GPU (BASELINE.md)
     from tpu_captioner.eval.flops import mfu, train_step_flops

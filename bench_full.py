@@ -109,32 +109,54 @@ def main():
                     use_pallas=finetune_use_pallas("auto"))
     )
 
-    # 1) TF train, frozen encoder.
-    for train_encoder, name, ref in [
-        (False, "tf_train_frozen_encoder", 0.172),
-        (True, "tf_train_finetune_5", 0.42),
-    ]:
-        # Fresh param copies: the step donates its state, and `params` must
-        # survive for the later eval/beam phases.
+    # Train rows use the same dispatch-free scanned-quotient instrument as
+    # the eval/beam rows below: the step scanned over K distinct image
+    # batches + keys inside ONE program at two lengths (state carried, so
+    # iterations serialize).  The chained-Python-loop alternative pays
+    # ~2-3 ms/step of relay dispatch overhead a real TPU host doesn't.
+    from tpu_captioner.eval.benchlib import scanned_train_quotient
+    from tpu_captioner.train.steps import train_step_compiler_options
+
+    K1, K2 = 3, 13
+    keys_k2 = jnp.stack(step_keys[:K2])
+    imgs_k2 = jax.jit(
+        lambda x: x[None] + jnp.arange(1, K2 + 1, dtype=jnp.uint8)[
+            :, None, None, None, None
+        ]
+    )(batch["images"])
+    jax.block_until_ready((keys_k2, imgs_k2))
+
+    def bench_train(name, m, ref, train_encoder, bench_params=None,
+                    decoder_flops_kw=None):
+        # Kernel mode doesn't change the param tree, so the flagship models
+        # share `params`; decoders with different trees pass their own.
         state = TrainState.create(
-            jax.tree_util.tree_map(jnp.copy, params), dec_opt, enc_opt
+            jax.tree_util.tree_map(
+                jnp.copy, params if bench_params is None else bench_params
+            ), dec_opt, enc_opt
         )
         step = make_train_step(
-            ft_model if train_encoder else model, tc, wid, dec_opt, enc_opt,
-            teacher_forcing=True, train_encoder=train_encoder,
+            m, tc, wid, dec_opt, enc_opt,
+            teacher_forcing=True, train_encoder=train_encoder, raw=True,
         )
-        t0 = time.perf_counter()
-        state, m = step(state, batch, step_keys[20])
-        jax.block_until_ready(m["loss"])
-        log(f"{name} compile+first: {time.perf_counter() - t0:.1f}s")
-        n = 20
-        t0 = time.perf_counter()
-        for i in range(n):
-            state, m = step(state, batch, step_keys[i])
-        float(m["loss"])  # host fetch forces completion
-        emit(name, (time.perf_counter() - t0) / n, ref,
-             flops=train_step_flops(B, V, train_encoder=train_encoder))
-        del state
+
+        def one_step(st, x):
+            im, key = x
+            st, mt = step(st, dict(batch, images=im), key)
+            return st, mt["loss"]
+
+        sec, _, _ = scanned_train_quotient(
+            one_step, state, (imgs_k2, keys_k2), k1=K1, k2=K2, reps=3,
+            opts=train_step_compiler_options(m, tc, train_encoder),
+            log=log, name=name,
+        )
+        emit(name, sec, ref, flops=train_step_flops(
+            B, V, train_encoder=train_encoder, **(decoder_flops_kw or {})
+        ))
+
+    # 1) TF train, frozen encoder + fine-tuning 5-7.
+    bench_train("tf_train_frozen_encoder", model, 0.172, False)
+    bench_train("tf_train_finetune_5", ft_model, 0.42, True)
 
     # Distinct per-iteration inputs, derived ON-DEVICE, measured as a
     # scanned difference quotient: the eval/beam steps carry no state->state
@@ -232,22 +254,11 @@ def main():
     lstm_params = jax.jit(lambda k: lstm_model.init_params(k, image_size=256))(
         jax.random.PRNGKey(0)
     )
-    state = TrainState.create(lstm_params, dec_opt, enc_opt)
-    step = make_train_step(
-        lstm_model, tc, wid, dec_opt, enc_opt,
-        teacher_forcing=True, train_encoder=False,
+    jax.block_until_ready(lstm_params)
+    bench_train(
+        "tf_train_lstm_attention", lstm_model, 0.212, False,
+        bench_params=lstm_params, decoder_flops_kw={"decoder": "lstm"},
     )
-    t0 = time.perf_counter()
-    state, m = step(state, batch, step_keys[20])
-    jax.block_until_ready(m["loss"])
-    log(f"lstm compile+first: {time.perf_counter() - t0:.1f}s")
-    n = 20
-    t0 = time.perf_counter()
-    for i in range(n):
-        state, m = step(state, batch, step_keys[i])
-    float(m["loss"])  # host fetch forces completion
-    emit("tf_train_lstm_attention", (time.perf_counter() - t0) / n, 0.212,
-         flops=train_step_flops(B, V, decoder="lstm"))
 
     # Non-default dtypes write a suffixed artifact so the committed f32
     # table isn't clobbered by a bf16 sweep.  JSONL (one row per line,

@@ -63,3 +63,55 @@ def scanned_quotient(
 
     t1, t2 = timed(f1), timed(f2)
     return (t2 - t1) / (k2 - k1), t1, t2
+
+
+def scanned_train_quotient(
+    step_fn: Callable[[Any, Any], Tuple[Any, Any]],
+    state0: Any,
+    xs: Any,  # (>=k2, ...) distinct per-iteration inputs, already on device
+    *,
+    k1: int,
+    k2: int,
+    opts: Optional[dict] = None,
+    log: Optional[Callable[[str], None]] = None,
+    name: str = "",
+    reps: int = 1,
+) -> Tuple[float, float, float]:
+    """Same difference-quotient instrument for STATE-CARRYING steps (train
+    steps: state -> state).  ``step_fn(state, x) -> (state, scalar)``; the
+    state is threaded through the scan carry so iterations serialize, and
+    the summed scalars are fetched to fence execution.  Distinct ``xs`` per
+    iteration keep XLA from hoisting input-dependent work out of the loop."""
+    import jax
+    import jax.numpy as jnp
+
+    def scanned(k):
+        def run(st, xs):
+            def body(c, x):
+                st2, s = step_fn(c, x)
+                return st2, s
+
+            _, ss = jax.lax.scan(body, st, jax.tree_util.tree_map(
+                lambda a: a[:k], xs
+            ))
+            return jnp.sum(ss)
+
+        return jax.jit(run, compiler_options=opts)
+
+    f1, f2 = scanned(k1), scanned(k2)
+    t0 = time.perf_counter()
+    float(f1(state0, xs))
+    float(f2(state0, xs))
+    if log is not None:
+        log(f"{name} compile+first: {time.perf_counter() - t0:.1f}s")
+
+    def timed(f):
+        best = float("inf")
+        for _ in range(max(1, reps)):
+            t = time.perf_counter()
+            float(f(state0, xs))
+            best = min(best, time.perf_counter() - t)
+        return best
+
+    t1, t2 = timed(f1), timed(f2)
+    return (t2 - t1) / (k2 - k1), t1, t2

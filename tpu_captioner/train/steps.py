@@ -251,8 +251,15 @@ def make_train_step(
     teacher_forcing: bool = True,
     train_encoder: bool = False,
     mesh: Optional[Mesh] = None,
+    raw: bool = False,
 ) -> Callable:
-    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+    """Returns jitted (state, batch, rng) -> (state, metrics).
+
+    ``raw=True`` returns the UNJITTED step_fn instead, for callers that
+    embed the step in a larger program (e.g. the scanned-quotient bench
+    instruments, which lax.scan the step and must hoist this step's
+    ``compiler_options`` to their own top-level jit — nested jits can't
+    carry them)."""
 
     def loss_for(params, batch, rng):
         if teacher_forcing:
@@ -335,6 +342,9 @@ def make_train_step(
             "top5_correct": aux["top5_correct"],
         }
         return new_state, metrics
+
+    if raw:
+        return step_fn
 
     # Fine-tuning with the fused Pallas kernels: XLA stages the backward
     # kernel's stage-4 operands (three 16.8 MB weight blocks + accumulators)
