@@ -264,9 +264,21 @@ class DecoderWithAttention:
             finished = finished | (act & (pred == end_id))
             return (h, cc, tok, finished), (logits_out, alpha_out, seq_out)
 
-        _, (logits, alphas, seqs) = jax.lax.scan(
-            body, (h0, c0, tok0, fin0), (rngs, steps), unroll=unroll
-        )
+        if deterministic and rng is None and teacher_tokens is None:
+            # Deterministic eval: stop once every row emitted <end>, like
+            # the reference's loop break (decoder.py:147-149).  Exactly
+            # equal to the full scan (finished rows emit zeros); while_loop
+            # is not reverse-differentiable, hence eval-only.
+            from tpu_captioner.core.loops import scan_early_exit
+
+            _, (logits, alphas, seqs) = scan_early_exit(
+                body, (h0, c0, tok0, fin0), (rngs, steps),
+                lambda c: jnp.all(c[3]),
+            )
+        else:
+            _, (logits, alphas, seqs) = jax.lax.scan(
+                body, (h0, c0, tok0, fin0), (rngs, steps), unroll=unroll
+            )
         return (
             jnp.swapaxes(logits, 0, 1),
             jnp.swapaxes(alphas, 0, 1),
@@ -442,7 +454,17 @@ class DecoderWithoutAttention:
             finished = finished | (act & (pred == end_id))
             return (h, cc, tok, finished), (logits_out, seq_out)
 
-        _, (logits, seqs) = jax.lax.scan(
-            body, (h0, c0, tok0, fin0), (rngs, jnp.arange(T)), unroll=2
-        )
+        if deterministic and rng is None and teacher_tokens is None:
+            # Early exit on all-finished (lstmNoAttention.py:118-120 break);
+            # eval-only, exactly equal to the full scan.
+            from tpu_captioner.core.loops import scan_early_exit
+
+            _, (logits, seqs) = scan_early_exit(
+                body, (h0, c0, tok0, fin0), (rngs, jnp.arange(T)),
+                lambda c: jnp.all(c[3]),
+            )
+        else:
+            _, (logits, seqs) = jax.lax.scan(
+                body, (h0, c0, tok0, fin0), (rngs, jnp.arange(T)), unroll=2
+            )
         return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(seqs, 0, 1)

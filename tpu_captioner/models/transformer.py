@@ -457,9 +457,22 @@ class TransformerDecoder:
             finished = finished | (act & (pred == end_id))
             return (tok, finished, cache), out
 
-        _, (logits, seqs, alphas) = jax.lax.scan(
-            body, (tok0, fin0, cache), jnp.arange(max_decode_len), unroll=2
-        )
+        if rng is None and teacher_tokens is None:
+            # Deterministic eval: stop decoding once every row has emitted
+            # <end>, like the reference's active-row break
+            # (transformerDecoder.py:125-127).  Bit-identical to the full
+            # scan (finished rows emit zeros either way); while_loop is not
+            # reverse-differentiable, hence eval-only.
+            from tpu_captioner.core.loops import scan_early_exit
+
+            _, (logits, seqs, alphas) = scan_early_exit(
+                body, (tok0, fin0, cache), jnp.arange(max_decode_len),
+                lambda c: jnp.all(c[1]),
+            )
+        else:
+            _, (logits, seqs, alphas) = jax.lax.scan(
+                body, (tok0, fin0, cache), jnp.arange(max_decode_len), unroll=2
+            )
         logits = jnp.swapaxes(logits, 0, 1)
         seqs = jnp.swapaxes(seqs, 0, 1)
         alphas = jnp.swapaxes(alphas, 0, 1) if self.capture_alphas else None
@@ -544,9 +557,19 @@ class TransformerDecoder:
             finished = finished | (act & (pred == end_id))
             return (tok, finished, ck, cv), out
 
-        _, (logits, seqs, alphas) = jax.lax.scan(
-            body, (tok0, fin0, ck0, cv0), jnp.arange(max_decode_len)
-        )
+        if rng is None and teacher_tokens is None:
+            # Early exit once all rows finished (see rollout above) — the
+            # eval/test/caption path, where this kernel rollout runs.
+            from tpu_captioner.core.loops import scan_early_exit
+
+            _, (logits, seqs, alphas) = scan_early_exit(
+                body, (tok0, fin0, ck0, cv0), jnp.arange(max_decode_len),
+                lambda c: jnp.all(c[1]),
+            )
+        else:
+            _, (logits, seqs, alphas) = jax.lax.scan(
+                body, (tok0, fin0, ck0, cv0), jnp.arange(max_decode_len)
+            )
         logits = jnp.swapaxes(logits, 0, 1)
         seqs = jnp.swapaxes(seqs, 0, 1)
         alphas = jnp.swapaxes(alphas, 0, 1) if self.capture_alphas else None
