@@ -264,9 +264,9 @@ def main():
     # table isn't clobbered by a bf16 sweep.  JSONL (one row per line,
     # matching stdout) so a partially-captured run still parses line-wise.
     out = (
-        "BENCH_FULL.json"
+        "BENCH_FULL.jsonl"
         if dtype == "float32"
-        else f"BENCH_FULL_{dtype}.json"
+        else f"BENCH_FULL_{dtype}.jsonl"
     )
     with open(out, "w") as f:
         for r in results:

@@ -86,16 +86,79 @@ def test_pool_dropout_gradient_matches_explicit_mask():
     )
 
 
-def _tiny_model(dropout_masks):
+def test_pool_layer_scope_gives_each_layer_distinct_bits():
+    """Inside a lax.scan over stacked layer params the body traces once;
+    pool_layer_scope must stripe the pool so each layer slices its own
+    bits (round-4 advisor: all layers reused one mask range)."""
+    from tpu_captioner.models.layers import pool_layer_scope
+
+    bits = jnp.asarray(np.random.default_rng(0).integers(0, 2, 64), bool)
+    pool = MaskPool(bits)
+
+    def body(carry, i):
+        with pool_layer_scope(i, 3):
+            m = pool.take((4,))
+        return carry, m
+
+    _, ms = jax.lax.scan(body, 0, jnp.arange(3))
+    # One trace reserved 3 layers x 4 bits; each layer got its own stripe.
+    assert pool.offset == 12
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(ms[i]), np.asarray(bits[4 * i : 4 * i + 4])
+        )
+    # Sites after the scope continue from the reserved region's end.
+    tail = pool.take((4,))
+    np.testing.assert_array_equal(np.asarray(tail), np.asarray(bits[12:16]))
+
+
+def _tiny_model(dropout_masks, num_layers=2):
     from tpu_captioner.core.config import ModelConfig
     from tpu_captioner.train.model import CaptionModel
 
     return CaptionModel(ModelConfig(
         decoder="transformer", vocab_size=60, embed_dim=64, decoder_dim=64,
-        attention_dim=64, num_heads=2, num_layers=2,
+        attention_dim=64, num_heads=2, num_layers=num_layers,
         encoder_depths=(1, 1, 1, 1), encoder_dims=(16, 32, 64, 128),
         encoder_dim=128, dropout_masks=dropout_masks,
     ))
+
+
+def test_pool_demand_scales_with_num_layers():
+    """Counted demand must grow by exactly the per-layer site total per
+    added layer — the regression the round-4 advisor asked for (demand was
+    identical for 2 and 4 layers because the scan body traced once)."""
+    from tpu_captioner.models.layers import mask_pool_scope
+    from tpu_captioner.train.steps import _CountingPool
+
+    B, T, E, H, P, D = 2, 12, 64, 2, 49, 64
+    caps = jnp.ones((B, T), jnp.int32)
+    enc_out = jnp.zeros((B, 7, 7, 128))
+
+    def demand(num_layers):
+        model = _tiny_model("pool", num_layers)
+        params = model.init_params(jax.random.PRNGKey(0), image_size=32)
+        cp = _CountingPool()
+        with mask_pool_scope(cp):
+            model.tf_forward(
+                params, enc_out, caps,
+                rng=jax.random.PRNGKey(1), deterministic=False,
+            )
+        return cp.total
+
+    per_layer = (
+        B * H * T * T      # self-attn probs
+        + B * T * E        # dropout(self-attn out)
+        + B * H * T * P    # cross-attn probs
+        + B * T * E        # dropout(cross-attn out)
+        + B * T * D        # FFN hidden
+        + B * T * E        # dropout(FFN out)
+    )
+    emb = B * T * E
+    d2, d4 = demand(2), demand(4)
+    assert d2 == emb + 2 * per_layer
+    assert d4 == emb + 4 * per_layer
+    assert d4 - d2 == 2 * per_layer
 
 
 def test_pooled_train_step_runs_and_counts_demand():
@@ -126,11 +189,12 @@ def test_pooled_train_step_runs_and_counts_demand():
     hits = [v for k, v in steps_mod._POOL_DEMAND_CACHE.items()
             if "vocab_size=60" in k[0]]
     assert hits and hits[0] > 0
-    # Exact demand: emb B*L*E + 2 layers * (ffn B*L*D + sa B*H*L*L
-    # + 3 * B*L*E + ca B*H*L*P); B=2 L=12 E=D=64 H=2 P=1 (32px -> 1x1 pool
-    # only if encoded_image_size=1; default 7 -> P=49... assert against the
-    # counting trace itself instead of hand-arithmetic drift).
-    del hits
+    # Exact per-layer scaling is pinned by test_pool_demand_scales_with_
+    # num_layers below; here just require the cached demand to cover the
+    # full per-layer striping (> one layer's sites).
+    B, T, E, H, P, D = 2, 12, 64, 2, 49, 64
+    per_layer = B * H * T * T + B * H * T * P + 3 * B * T * E + B * T * D
+    assert hits[0] == B * T * E + 2 * per_layer
 
 
 def test_pooled_loss_differs_from_threefry_but_same_deterministic():

@@ -81,6 +81,41 @@ def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
+_POOL_LAYER: Optional[Tuple] = None  # (traced layer index, static layer count)
+
+
+class pool_layer_scope:
+    """Marks dropout sites traced inside as belonging to scanned-layer
+    ``index`` of ``count`` identical layers.  A ``lax.scan`` over stacked
+    layer params traces its body ONCE, so without this scope every layer
+    would slice the SAME pool range and reuse identical masks (the
+    reference uses independent per-layer masks — transformerDecoder.py
+    layer dropouts).  Inside the scope each site reserves ``count * size``
+    pool elements and slices its layer's stripe at ``index * size`` with a
+    dynamic slice, so each layer gets independent bits from one body trace."""
+
+    def __init__(self, index, count: int):
+        self.index = index
+        self.count = int(count)
+
+    def __enter__(self):
+        global _POOL_LAYER
+        self._prev = _POOL_LAYER
+        _POOL_LAYER = (self.index, self.count)
+        return self
+
+    def __exit__(self, *exc):
+        global _POOL_LAYER
+        _POOL_LAYER = self._prev
+        return False
+
+
+def pool_layer_info() -> Optional[Tuple]:
+    """(traced index, static count) of the active scanned-layer scope, or
+    None.  Consulted by MaskPool.take and the demand-counting trace."""
+    return _POOL_LAYER
+
+
 class MaskPool:
     """Flat pool of precomputed dropout keep-bits, consumed in trace order.
 
@@ -88,7 +123,9 @@ class MaskPool:
     for a whole train step; each `dropout` site slices its elements out.
     Offsets are Python ints advanced at TRACE time — deterministic because
     tracing is — so the same program always assigns the same pool ranges
-    to the same sites.  Overdraw raises at trace (= compile) time, never
+    to the same sites.  Sites inside a ``pool_layer_scope`` reserve a
+    layer-count-wide stripe and dynamic-slice their layer's share (see
+    pool_layer_scope).  Overdraw raises at trace (= compile) time, never
     silently."""
 
     def __init__(self, bits: jnp.ndarray, keep: Optional[float] = None):
@@ -106,13 +143,20 @@ class MaskPool:
                 "pool is drawn at ONE rate — route this site around the pool"
             )
         n = math.prod(shape)
-        if self.offset + n > self.bits.shape[0]:
+        layer = pool_layer_info()
+        reserve = n if layer is None else n * layer[1]
+        if self.offset + reserve > self.bits.shape[0]:
             raise ValueError(
-                f"dropout mask pool exhausted: need {n} at offset "
+                f"dropout mask pool exhausted: need {reserve} at offset "
                 f"{self.offset}, pool holds {self.bits.shape[0]}"
             )
-        sl = jax.lax.slice_in_dim(self.bits, self.offset, self.offset + n)
-        self.offset += n
+        if layer is None:
+            sl = jax.lax.slice_in_dim(self.bits, self.offset, self.offset + n)
+        else:
+            idx, _ = layer
+            start = self.offset + jnp.asarray(idx, jnp.int32) * n
+            sl = jax.lax.dynamic_slice_in_dim(self.bits, start, n)
+        self.offset += reserve
         return sl.reshape(shape)
 
 

@@ -45,6 +45,7 @@ from tpu_captioner.models.layers import (
     linear,
     mha_project_qkv,
     multi_head_attention,
+    pool_layer_scope,
     _merge_heads,
     _split_heads,
 )
@@ -198,15 +199,21 @@ class TransformerDecoder:
         if key_padding_mask is not None:
             mask = mask & (~key_padding_mask)[:, None, None, :]
 
+        n = c.num_layers
+
         def body(x, xs):
             pl, i = xs
-            x, ca_probs = self._layer_full(
-                pl, x, mem, mask, _rng_at(rng, 200, i), deterministic
-            )
+            # Per-layer pooled-dropout stripe: the scan body traces once, so
+            # without the scope every layer would consume the SAME MaskPool
+            # range (round-4 advisor finding) — the reference draws
+            # independent masks per layer.
+            with pool_layer_scope(i, n):
+                x, ca_probs = self._layer_full(
+                    pl, x, mem, mask, _rng_at(rng, 200, i), deterministic
+                )
             out = jnp.mean(ca_probs, axis=1) if self.capture_alphas else jnp.zeros(())
             return x, out
 
-        n = c.num_layers
         x, ca_means = jax.lax.scan(
             body, x, (p["layers"], jnp.arange(n)), unroll=True
         )
@@ -457,7 +464,7 @@ class TransformerDecoder:
             finished = finished | (act & (pred == end_id))
             return (tok, finished, cache), out
 
-        if rng is None and teacher_tokens is None:
+        if deterministic and rng is None and teacher_tokens is None:
             # Deterministic eval: stop decoding once every row has emitted
             # <end>, like the reference's active-row break
             # (transformerDecoder.py:125-127).  Bit-identical to the full

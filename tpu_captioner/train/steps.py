@@ -48,7 +48,9 @@ from tpu_captioner.train.state import TrainState, zero_frozen
 class _CountingPool:
     """Trace-time stand-in that measures a forward's mask demand.  take()
     returns zeros so the counting trace stays well-typed; its outputs are
-    discarded, so XLA dead-code-eliminates the whole counting forward."""
+    discarded, so XLA dead-code-eliminates the whole counting forward.
+    Sites inside a scanned-layer scope reserve count * size, matching
+    MaskPool's per-layer stripes (layers.pool_layer_scope)."""
 
     def __init__(self):
         self.total = 0
@@ -56,7 +58,11 @@ class _CountingPool:
     def take(self, shape, keep=None):
         import math
 
-        self.total += math.prod(shape)
+        from tpu_captioner.models.layers import pool_layer_info
+
+        layer = pool_layer_info()
+        n = math.prod(shape)
+        self.total += n if layer is None else n * layer[1]
         return jnp.zeros(shape, bool)
 
 
