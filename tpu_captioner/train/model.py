@@ -225,13 +225,22 @@ class CaptionModel:
             p, encoder_out, start_id, end_id, max_decode_len, **kw
         )
 
-    def _decode_kernel_mode(self) -> str:
+    def _decode_kernel_mode(self, context: str = "rollout") -> str:
         """'off' | 'step' (per-token fused kernel) | 'mega' (whole-rollout
         single launch).  'mega' requires the vocab tables + weights to fit
         VMEM (~(2V*E + L*7E^2)*2 bytes bf16); fall back to 'step' when too
         big (COCO's 47k-word vocab without min-freq pruning, say).  For the
         LSTM+attention decoder any non-'off' mode selects its own fused
-        step kernel (ops/lstm_step.py) in deterministic rollouts/beam."""
+        step kernel (ops/lstm_step.py) in deterministic rollouts/beam.
+
+        'auto' is FAMILY- and CONTEXT-aware, set from on-chip A/Bs
+        (BENCHMARKING.md "LSTM decode-kernel default"): the transformer
+        families take the fused step kernel everywhere (measured faster in
+        eval and beam), while for the LSTM the plain XLA loop wins BOTH
+        contexts (beam-5: 921.7 vs 817.1 caps/s, artifacts/r04_queue/;
+        greedy eval: see the r05 A/B artifacts), so 'auto' resolves to
+        'off' for the LSTM.  Explicit 'on'/'step'/'mega' still force the
+        kernels for any family."""
         mode = self.cfg.decode_kernel
         if mode == "off" or mode is False:
             return "off"
@@ -248,9 +257,14 @@ class CaptionModel:
         if mode == "auto":
             from tpu_captioner.core.backend import on_tpu
 
-            return "step" if on_tpu() else "off"
+            if not on_tpu():
+                return "off"
+            if c.decoder == "lstm":
+                return "off"
+            return "step"
         return "off"
 
-    def _use_decode_kernel(self) -> bool:
-        """Beam adapters use the per-token kernel whenever kernels are on."""
-        return self._decode_kernel_mode() != "off"
+    def _use_decode_kernel(self, context: str = "beam") -> bool:
+        """Beam adapters use the per-token kernel when it wins for their
+        family (see _decode_kernel_mode)."""
+        return self._decode_kernel_mode(context) != "off"
