@@ -260,6 +260,47 @@ def main():
         bench_params=lstm_params, decoder_flops_kw={"decoder": "lstm"},
     )
 
+    # 5) LSTM+attention beam-5 throughput, DEFAULT settings — as of round 5
+    # decode_kernel='auto' resolves to the plain XLA loop for the LSTM
+    # family (measured faster both contexts: 921.7 vs 817.1 caps/s beam,
+    # 19.4 vs 22.9 ms/batch32 greedy — BENCHMARKING.md "LSTM decode-kernel
+    # default").  Reference: caption.py:39-155, one image per CPU call.
+    def lstm_beam_scalar(p, im):
+        res = _beam_search_batch_impl(
+            lstm_model, p, im,
+            beam_size=5, max_steps=50, start_id=V - 2, end_id=V - 1,
+        )
+        return jnp.sum(res.score)
+
+    lstm_beam_opts = _beam_compiler_options(lstm_model)
+    # bench_scanned closes over flagship `params`; pass lstm params directly.
+    sec, _, _ = scanned_quotient(
+        lstm_beam_scalar, lstm_params, imgs_k2, k1=K1, k2=K2,
+        opts=dict(lstm_beam_opts) if lstm_beam_opts else None,
+        log=log, name="lstm beam",
+    )
+    ref_lstm_art = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "artifacts", "reference_beam_lstm.json",
+    )
+    lstm_baseline_source = (
+        "scripts/bench_reference_beam.py --decoder lstm (torch CPU, this host)"
+    )
+    ref_lstm_caps = 0.25  # fallback; overwritten by the committed artifact
+    if os.path.exists(ref_lstm_art):
+        with open(ref_lstm_art) as f:
+            ref_lstm_caps = float(json.load(f)["value"])
+        lstm_baseline_source = "artifacts/reference_beam_lstm.json"
+    row = {
+        "metric": "beam5_lstm_captions_per_sec",
+        "value": round(B / sec, 2),
+        "unit": "captions/sec",
+        "vs_baseline": round(B / sec / ref_lstm_caps, 1),
+        "baseline_source": lstm_baseline_source,
+    }
+    print(json.dumps(row), flush=True)
+    results.append(row)
+
     # Non-default dtypes write a suffixed artifact so the committed f32
     # table isn't clobbered by a bf16 sweep.  JSONL (one row per line,
     # matching stdout) so a partially-captured run still parses line-wise.

@@ -104,6 +104,70 @@ class RefTransformerDecoder(nn.Module):
         return self.fc(out[-1])  # (k, V)
 
 
+class RefLSTMDecoder(nn.Module):
+    """Reference LSTM+attention decoder structure (models/decoderWithAttention
+    per SURVEY.md C4/C5: additive attention 1024/512->512->1, gated context,
+    LSTMCell(512+1024, 512), vocab head).  Dims from train.py:38-44."""
+
+    def __init__(self, vocab, embed=512, att=512, hid=512, enc=1024):
+        super().__init__()
+        self.embed = nn.Embedding(vocab, embed)
+        self.enc_att = nn.Linear(enc, att)
+        self.dec_att = nn.Linear(hid, att)
+        self.full_att = nn.Linear(att, 1)
+        self.f_beta = nn.Linear(hid, enc)
+        self.init_h = nn.Linear(enc, hid)
+        self.init_c = nn.Linear(enc, hid)
+        self.cell = nn.LSTMCell(embed + enc, hid)
+        self.fc = nn.Linear(hid, vocab)
+
+    def init_state(self, mem):
+        mean = mem.mean(dim=1)
+        return self.init_h(mean), self.init_c(mean)
+
+    def step(self, words, mem, h, c):
+        # One reference beam step (caption.py:94-117): additive attention,
+        # sigmoid-gated context, LSTM cell, vocab scores.
+        att = self.full_att(
+            torch.relu(self.enc_att(mem) + self.dec_att(h).unsqueeze(1))
+        ).squeeze(2)
+        alpha = F.softmax(att, dim=1)
+        awe = (mem * alpha.unsqueeze(2)).sum(dim=1)
+        awe = torch.sigmoid(self.f_beta(h)) * awe
+        h, c = self.cell(torch.cat([self.embed(words), awe], dim=1), (h, c))
+        return self.fc(h), h, c
+
+
+def caption_one_lstm(encoder, decoder, image, k, vocab, start_id, max_steps):
+    """The reference LSTM beam loop (caption.py:39-155): k beams as a batch,
+    ONE cell step per token (state carried, no prefix re-run), cumulative
+    log-softmax scores, topk over k*V, beam reshuffle via prev_word_inds.
+    Random weights => no <end>, so all k survive to the cap (worst case,
+    matching the TPU-side bench)."""
+    with torch.no_grad():
+        enc = encoder(image)  # (1, 7, 7, 1024)
+        mem = enc.reshape(1, -1, enc.shape[-1]).expand(k, -1, -1)
+        h, c = decoder.init_state(mem)
+        words = torch.full((k,), start_id, dtype=torch.long)
+        cum = torch.zeros(k, 1)
+        seqs = words.unsqueeze(1)
+        for step in range(max_steps):
+            logits, h, c = decoder.step(words, mem, h, c)
+            logp = F.log_softmax(logits, dim=-1)
+            cand = (cum + logp).view(-1)
+            if step == 0:
+                top, idx = logp[0].topk(k)
+                prev = torch.zeros(k, dtype=torch.long)
+            else:
+                top, idx = cand.topk(k)
+                prev = idx // vocab
+            words = idx % vocab
+            seqs = torch.cat([seqs[prev], words.unsqueeze(1)], dim=1)
+            h, c = h[prev], c[prev]
+            cum = top.unsqueeze(1)
+        return seqs
+
+
 def caption_one(encoder, decoder, image, k, vocab, start_id, max_steps):
     """The reference beam loop (caption.py:160-255): k beams as a batch,
     FULL decoder re-run on the growing prefix each step, cumulative
@@ -132,15 +196,33 @@ def caption_one(encoder, decoder, image, k, vocab, start_id, max_steps):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--decoder", choices=["transformer", "lstm"],
+                    default="transformer")
+    args = ap.parse_args()
+
     torch.manual_seed(0)
     torch.set_num_threads(torch.get_num_threads())
     vocab, k, max_steps = 9490, 5, 50
     encoder = ConvNeXtBase().eval()
-    decoder = RefTransformerDecoder(vocab).eval()
+    if args.decoder == "lstm":
+        decoder = RefLSTMDecoder(vocab).eval()
+        run = caption_one_lstm
+        metric = "reference_beam5_lstm_captions_per_sec"
+        art_name = "reference_beam_lstm.json"
+        arch = "LSTM+attention (one cell step/token)"
+    else:
+        decoder = RefTransformerDecoder(vocab).eval()
+        run = caption_one
+        metric = "reference_beam5_captions_per_sec"
+        art_name = "reference_beam.json"
+        arch = "6-layer transformer (full-prefix re-decode)"
     image = torch.randn(1, 3, 256, 256)
 
     t0 = time.perf_counter()
-    caption_one(encoder, decoder, image, k, vocab, 1, max_steps)
+    run(encoder, decoder, image, k, vocab, 1, max_steps)
     warm = time.perf_counter() - t0
     print(f"[ref-beam] warmup: {warm:.1f}s", file=sys.stderr, flush=True)
 
@@ -148,16 +230,16 @@ def main():
     n = min(n, 5)
     t0 = time.perf_counter()
     for _ in range(n):
-        caption_one(encoder, decoder, image, k, vocab, 1, max_steps)
+        run(encoder, decoder, image, k, vocab, 1, max_steps)
     dt = (time.perf_counter() - t0) / n
     row = {
-        "metric": "reference_beam5_captions_per_sec",
+        "metric": metric,
         "value": round(1.0 / dt, 3),
         "unit": "captions/sec",
         "sec_per_caption": round(dt, 3),
-        "config": "reference algorithm, torch CPU, ConvNeXt-Base + 6-layer "
-                  "transformer, beam 5, 50 steps (no <end> with random "
-                  "weights; same condition as the TPU-side beam bench)",
+        "config": f"reference algorithm, torch CPU, ConvNeXt-Base + {arch}, "
+                  "beam 5, 50 steps (no <end> with random weights; same "
+                  "condition as the TPU-side beam bench)",
         "n_samples": n,
     }
     print(json.dumps(row))
@@ -165,7 +247,7 @@ def main():
     # tracks this host instead of a hardcoded constant.
     art = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "artifacts", "reference_beam.json",
+        "artifacts", art_name,
     )
     os.makedirs(os.path.dirname(art), exist_ok=True)
     with open(art, "w") as f:

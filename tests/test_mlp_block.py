@@ -11,14 +11,14 @@ from tpu_captioner.ops.mlp_block import _reference_impl, fused_convnext_mlp
 N, C = 192, 128
 
 
-def make_args(seed=0, sd="ones"):
+def make_args(seed=0, sd="ones", n=N):
     ks = jax.random.split(jax.random.PRNGKey(seed), 10)
-    x = jax.random.normal(ks[0], (N, C))
-    res = jax.random.normal(ks[1], (N, C))
+    x = jax.random.normal(ks[0], (n, C))
+    res = jax.random.normal(ks[1], (n, C))
     if sd == "ones":
-        sd_scale = jnp.ones((N,))
+        sd_scale = jnp.ones((n,))
     else:
-        sd_scale = jnp.where(jax.random.bernoulli(ks[2], 0.7, (N,)), 2.0, 0.0)
+        sd_scale = jnp.where(jax.random.bernoulli(ks[2], 0.7, (n,)), 2.0, 0.0)
     ln_s = 1.0 + 0.1 * jax.random.normal(ks[3], (C,))
     ln_b = 0.1 * jax.random.normal(ks[4], (C,))
     w1 = jax.random.normal(ks[5], (C, 4 * C)) * 0.05
@@ -110,6 +110,46 @@ def test_pallas_bwd_kernel_tail_masking():
         np.testing.assert_allclose(
             np.asarray(gm), np.asarray(gr), atol=2e-3, err_msg=f"arg {k}"
         )
+
+
+@pytest.mark.parametrize("n", [512, 520])
+def test_pallas_pipelined_matches_reference(n, monkeypatch):
+    """TPU_CAPTIONER_MLP_SUB=128 with n >= tile(512) engages the
+    software-pipelined sub-tile schedule (_kernel_pipelined; default off —
+    measured flat on-chip, see _pipeline_sub); 520 adds a partial final grid
+    cell on top.  Must equal the XLA reference like the monolithic path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_captioner.ops import mlp_block
+
+    monkeypatch.setenv("TPU_CAPTIONER_MLP_SUB", "128")
+    args = make_args(sd="mixed", n=n)
+    want = _reference_impl(*args)
+    assert mlp_block._pipeline_sub(n, min(512, n)) == 128
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_convnext_mlp(*args, True, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_erf_poly_accuracy_and_gelu_parity():
+    """The divide/exp-free in-kernel erf must stay at A&S-class accuracy
+    (<=3e-7 abs, f32) against the true erf, across segment boundaries and
+    saturation; and the resulting GELU must match jax.nn.gelu(exact)."""
+    import math
+
+    from tpu_captioner.ops.mlp_block import _erf_poly, _gelu_kernel
+
+    x = np.concatenate([
+        np.linspace(-6.5, 6.5, 20011, dtype=np.float32),
+        np.array([-4.2, -2.0, 0.0, 2.0, 4.2], dtype=np.float32),
+    ])
+    got = np.asarray(_erf_poly(jnp.asarray(x)))
+    want = np.array([math.erf(float(v)) for v in x])
+    assert np.max(np.abs(got - want)) <= 3e-7
+
+    g = np.asarray(_gelu_kernel(jnp.asarray(x)))
+    ref = np.asarray(jax.nn.gelu(jnp.asarray(x), approximate=False))
+    np.testing.assert_allclose(g, ref, atol=3e-6)
 
 
 def test_pallas_bf16_mxu_close_to_reference():

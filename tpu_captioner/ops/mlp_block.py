@@ -51,8 +51,58 @@ def _erf_as(x):
     return jnp.sign(x) * (1.0 - poly * jnp.exp(-a * a))
 
 
+# Piecewise-polynomial erf with NO divide/exp — the round-5 experiment for
+# the "8.6 ms serial GELU" headroom hypothesis.  Two centered
+# Chebyshev-derived fits — erf(r)=r*P(r^2-2) on [0,2] and erf(r)=Q(r-3.1)
+# on [2,4.2], saturating past 4.2 where 1-erf < 2.9e-9 — evaluate in ~21
+# FMAs + selects, measured f32 max abs error 1.7e-7 (same 1.5e-7-class
+# accuracy as A&S 7.1.26).  MEASURED SLOWER on-chip: 26.7 ms/step vs 24.3
+# for the A&S form (artifacts/r05_queue/q_gelu_{poly,as}.json) — Mosaic's
+# divide/exp are hardware-accelerated, so the GELU cost is raw VPU op
+# count and A&S (~12 ops + div + exp) is already near the f32-accurate
+# floor.  Kept behind TPU_CAPTIONER_GELU=poly as the documented experiment
+# (BENCHMARKING.md round 5 "encoder floor is structural").
+_ERF_PA = (
+    0.6749332400469609, -0.13055594080717844, 0.029869731284560653,
+    -0.006082805459027178, 0.0010706339924564955, -0.00016363600079109033,
+    2.187242302884167e-05, -2.5982562449309996e-06, 3.0466273629515377e-07,
+    -3.080281838582692e-08,
+)
+_ERF_PB = (
+    0.9999883493610994, 7.55111189514457e-05, -0.00023442631744837155,
+    0.000462257003590861, -0.0006354542565884217, 0.0006348508894198379,
+    -0.0004956271199076942, 0.0003165336361843908, -0.00012624532222162342,
+    5.650436182836311e-07, 1.3667501948364588e-05,
+)
+
+
+def _horner(coefs, x):
+    acc = jnp.full_like(x, coefs[-1])
+    for c in coefs[-2::-1]:
+        acc = acc * x + c
+    return acc
+
+
+def _erf_poly(x):
+    a = jnp.abs(x)
+    inner = jnp.minimum(a, 2.0)
+    va = _horner(_ERF_PA, inner * inner - 2.0) * inner
+    vb = _horner(_ERF_PB, jnp.minimum(a, 4.2) - 3.1)
+    v = jnp.where(a <= 2.0, va, jnp.where(a <= 4.2, vb, 1.0))
+    return jnp.sign(x) * v
+
+
+def _erf(x):
+    """In-kernel erf; TPU_CAPTIONER_GELU selects the implementation for A/Bs
+    ('as' default — A&S divide+exp, measured FASTER than 'poly' on-chip;
+    see _erf_poly's note)."""
+    if os.environ.get("TPU_CAPTIONER_GELU", "as") == "poly":
+        return _erf_poly(x)
+    return _erf_as(x)
+
+
 def _gelu_kernel(x):
-    return 0.5 * x * (1.0 + _erf_as(x * 0.7071067811865476))
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
 def _core_impl(x, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
@@ -92,13 +142,79 @@ def _kernel(x_ref, res_ref, sd_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
     o_ref[:] = out.astype(o_ref.dtype)
 
 
+def _kernel_pipelined(x_ref, res_ref, sd_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
+                      w2_ref, b2_ref, gamma_ref, o_ref, *, mxu_dtype, sub):
+    """Software-pipelined variant of ``_kernel``: the row tile is split into
+    ``sub``-row sub-tiles whose LN/mm1/GELU/mm2/store chains are INDEPENDENT,
+    and the stages are emitted skewed (tile i's GELU next to tile i+1's mm1)
+    so Mosaic's scheduler can run the 8.6 ms/step exact-erf GELU (VPU) under
+    the matmuls (MXU) instead of serializing them — the dominant measured
+    headroom of the frozen train step (BENCHMARKING.md "Encoder floor,
+    MEASURED": serial engine sum 21.6 ms vs 12.7 ms VPU floor)."""
+    tile, c = x_ref.shape
+    S = tile // sub
+    w1 = w1_ref[:].astype(mxu_dtype)
+    w2 = w2_ref[:].astype(mxu_dtype)
+    lns, lnb = lns_ref[0], lnb_ref[0]
+    b1, b2, gamma = b1_ref[0], b2_ref[0], gamma_ref[0]
+
+    def ln(s):
+        x = x_ref[s * sub : (s + 1) * sub, :].astype(jnp.float32)
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        return ((x - mu) * jax.lax.rsqrt(var + LN_EPS)) * lns + lnb
+
+    xn, h, g, y = [None] * S, [None] * S, [None] * S, [None] * S
+    for k in range(S + 4):
+        if k < S:
+            xn[k] = ln(k)
+        if 1 <= k < S + 1:
+            s = k - 1
+            h[s] = jnp.dot(
+                xn[s].astype(mxu_dtype), w1, preferred_element_type=jnp.float32
+            ) + b1
+        if 2 <= k < S + 2:
+            s = k - 2
+            g[s] = _gelu_kernel(h[s])
+        if 3 <= k < S + 3:
+            s = k - 3
+            y[s] = jnp.dot(
+                g[s].astype(mxu_dtype), w2, preferred_element_type=jnp.float32
+            ) + b2
+        if 4 <= k < S + 4:
+            s = k - 4
+            r = slice(s * sub, (s + 1) * sub)
+            out = res_ref[r, :].astype(jnp.float32) + sd_ref[r, :] * (y[s] * gamma)
+            o_ref[r, :] = out.astype(o_ref.dtype)
+
+
+def _pipeline_sub(n: int, tile: int) -> int:
+    """Sub-tile rows for the pipelined forward kernel; 0 disables (monolithic
+    per-tile chain).  Env override TPU_CAPTIONER_MLP_SUB for A/Bs.
+
+    Default 0: the round-5 on-chip A/B (artifacts/r05_queue/q_mlp_sub*.json)
+    measured the skewed schedule FLAT vs the monolithic kernel (24.4 ms/step
+    at sub=128 vs 24.3 off; 25.2 at sub=64) — Mosaic already extracts the
+    available MXU/VPU overlap from the monolithic chain, so the unrolled
+    variant buys nothing and costs compile time.  Kept behind the env knob
+    as the documented experiment (BENCHMARKING.md round 5)."""
+    sub = int(os.environ.get("TPU_CAPTIONER_MLP_SUB", "0"))
+    if sub <= 0 or tile % sub or tile // sub < 2:
+        return 0
+    return sub
+
+
 def _fused_pallas(x, residual, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
                   row_tile: int = 512, mxu_dtype=jnp.bfloat16):
     n, c = x.shape
     c4 = w1.shape[1]
     tile = min(row_tile, n)
+    sub = _pipeline_sub(n, tile)
+    if sub:
+        kernel = functools.partial(_kernel_pipelined, mxu_dtype=mxu_dtype, sub=sub)
+    else:
+        kernel = functools.partial(_kernel, mxu_dtype=mxu_dtype)
     grid = (pl.cdiv(n, tile),)
-    kernel = functools.partial(_kernel, mxu_dtype=mxu_dtype)
     # Raise the scoped-VMEM cap only when this stage actually needs it
     # (stage-4 weights are 2 x 16.8 MB f32); a blanket high cap measurably
     # hurts pipelining of the small stages (27.4 -> 29.1 ms/step).
@@ -198,7 +314,7 @@ def _bwd_kernel(g_ref, x_ref, sd_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
     d_h = mm(d_u, w2_ref[:], ((1,), (1,)))  # (T,C)x(C4,C) -> (T,C4)
     # gelu'(a) = Phi(a) + a*phi(a)
     phi = jnp.exp(-0.5 * a * a) * 0.3989422804014327
-    cdf = 0.5 * (1.0 + _erf_as(a * 0.7071067811865476))
+    cdf = 0.5 * (1.0 + _erf(a * 0.7071067811865476))
     d_a = d_h * (cdf + a * phi)
     d_xn = mm(d_a, w1_ref[:], ((1,), (1,)))  # (T,C4)x(C,C4) -> (T,C)
     d_xhat = d_xn * lns
