@@ -118,6 +118,8 @@ def test_row_tiled_grid_matches_single_tile(setup):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
+# slow: layers_per_cell ships OFF (measured 7.6x worse); ~21 s compile.
+@pytest.mark.slow
 def test_layers_per_cell_matches_per_layer_grid():
     """Packing multiple layers into one grid cell (layers_per_cell) must be
     a pure scheduling change — identical outputs to the one-layer-per-cell
@@ -193,6 +195,8 @@ def test_mega_rollout_equality(setup):
     np.testing.assert_allclose(alphas, alphas_ref, rtol=2e-5, atol=2e-6)
 
 
+# slow: the mega-kernel is shelved (measured slower, round 3); ~9 s.
+@pytest.mark.slow
 def test_mega_rollout_scheduled_sampling(setup):
     cfg, dec, p, enc_out = setup
     B = enc_out.shape[0]

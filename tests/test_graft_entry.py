@@ -25,6 +25,8 @@ def test_dryrun_multichip_8():
     g.dryrun_multichip(8)
 
 
+# slow: CPU compile of the full flagship forward takes ~35 s and duplicates the driver's own entry() compile check each round.
+@pytest.mark.slow
 def test_entry_compiles_and_is_finite():
     import jax
     import numpy as np

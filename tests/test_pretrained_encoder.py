@@ -125,6 +125,8 @@ def test_trainer_inits_from_npz_and_finetunes(dataset_dir, tmp_path, backbone_np
     assert stem_same and not top_same
 
 
+# slow: error-message UX path; compiles a near-full backbone just to fail (~17 s).
+@pytest.mark.slow
 def test_wrong_size_backbone_fails_loudly(dataset_dir, tmp_path):
     from tpu_captioner.train.loop import Trainer
 

@@ -7,6 +7,7 @@ fold_in chains, in-jit splits, dropout, scheduled sampling — still accepts
 a typed rbg key.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,6 +25,8 @@ def test_step_key_reproducible_and_distinct():
         assert not np.array_equal(bits(a), bits(c))
 
 
+# slow: the rbg PRNG is opt-in only (reverted default, BENCHMARKING.md round 4); ~26 s compile.
+@pytest.mark.slow
 def test_rbg_key_through_full_train_step():
     """A typed rbg key must flow through make_train_step's jitted dropout
     path end to end (the TPU shipping configuration)."""

@@ -317,6 +317,8 @@ def test_data_parallel_matches_single_device(dataset_dir):
     assert int(m1["tokens"]) == int(m8["tokens"])
 
 
+# slow: scheduled sampling is an extra beyond the reference surface; ~22 s compile.
+@pytest.mark.slow
 def test_scheduled_sampling_prob1_matches_teacher_forcing(dataset_dir):
     """With teacher_prob=1 every rollout input is the ground-truth token, so
     deterministic rollout logits must equal the TF parallel pass step for
