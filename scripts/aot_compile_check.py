@@ -127,12 +127,40 @@ def main():
             lambda k: model.init_params(k, image_size=256), key_sds
         )
 
-    def train_program(train_encoder, B, decoder="transformer"):
+    def train_program(train_encoder, B, decoder="transformer",
+                      dtype="float32", vmem_kib=None, dw_grad=None):
+        # vmem_kib / dw_grad: force the env knobs at trace time.  Used
+        # ONLY by the f32 fine-tune program, whose shipping config
+        # (64 MB scoped-VMEM budget, Pallas dw-filter-grad) is
+        # compile-infeasible under the LOCAL libtpu: every budget in
+        # {default, 32*, 40, 48, 64, 96 MB} OOMs staging the stage-3 bwd
+        # kernel's 25 MB output tuple (artifacts/r05_queue/q_gate_ft_*.log;
+        # *32 MB compiled before the round-5 dw-grad kernel entered the
+        # program and stopped compiling after — the feasible set is both
+        # disjoint from the relay's and unstable across program edits).
+        # Gating it at 32 MB with the XLA dw-grad still validates the
+        # Mosaic lowering of the fused fwd/bwd MLP stages at f32; the
+        # round-5 dw-grad kernel's lowering is covered by the bf16
+        # fine-tune program, which compiles at its FULL shipping config
+        # (32 MB budget, Pallas dw-grad — no overrides).  The f32
+        # shipping config itself is validated on-chip
+        # (artifacts/r05_queue/q_ft_dwgrad_float32.log, BENCH_FULL
+        # fine-tune row); see BENCHMARKING "Fine-tune scoped-VMEM
+        # budget, both compilers".
+        if vmem_kib is not None:
+            os.environ["TPU_CAPTIONER_SCOPED_VMEM_KIB"] = str(vmem_kib)
+        else:
+            os.environ.pop("TPU_CAPTIONER_SCOPED_VMEM_KIB", None)
+        if dw_grad is not None:
+            os.environ["TPU_CAPTIONER_DW_GRAD"] = dw_grad
+        else:
+            os.environ.pop("TPU_CAPTIONER_DW_GRAD", None)
         cfg = TrainConfig(batch_size=B, starting_layer=5)
-        model = model_for(
-            decoder,
-            finetune_use_pallas("auto") if train_encoder else "auto",
-        )
+        model = CaptionModel(ModelConfig(
+            decoder=decoder, vocab_size=V, compute_dtype=dtype,
+            use_pallas=(finetune_use_pallas("auto") if train_encoder
+                        else "auto"),
+        ))
         dec_opt = make_optimizer(cfg.decoder_lr, cfg.grad_clip)
         enc_opt = make_optimizer(cfg.encoder_lr, cfg.grad_clip)
         step = make_train_step(model, cfg, wid, dec_opt, enc_opt,
@@ -145,12 +173,14 @@ def main():
         return step, (state, batch_sds(B), key_sds), {}
 
     def eval_program(decoder):
+        os.environ.pop("TPU_CAPTIONER_SCOPED_VMEM_KIB", None)
         model = model_for(decoder)
         cfg = TrainConfig(batch_size=32)
         step = make_eval_step(model, cfg, wid)
         return step, (params_sds(model), batch_sds(32, with_refs=True)), {}
 
     def beam_program(decoder):
+        os.environ.pop("TPU_CAPTIONER_SCOPED_VMEM_KIB", None)
         model = model_for(decoder)
         from tpu_captioner.infer.beam import _beam_compiler_options, _jitted_beam
 
@@ -163,7 +193,12 @@ def main():
     PROGRAMS = {
         "tf_train_frozen_bs32": lambda: train_program(False, 32),
         "tf_train_frozen_bs64": lambda: train_program(False, 64),
-        "tf_train_finetune_bs32": lambda: train_program(True, 32),
+        "tf_train_finetune_bs32": lambda: train_program(
+            True, 32, vmem_kib=32768, dw_grad="xla"
+        ),
+        "tf_train_finetune_bs32_bf16": lambda: train_program(
+            True, 32, dtype="bfloat16"
+        ),
         "lstm_tf_train_frozen_bs32": lambda: train_program(
             False, 32, decoder="lstm"
         ),

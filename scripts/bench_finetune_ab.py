@@ -83,6 +83,9 @@ VARIANTS = {
     # (113 MB) cannot be staged, so XLA streams it from HBM instead.
     "pallas34off": (None, ("mlp", "mlp", "mlp", "off"), "on"),
     "pallas34off-norem": (None, ("mlp", "mlp", "mlp", "off"), "off"),
+    # remat policy that saves each block's dwconv output: backward replays
+    # no forward compute (round 5; models/convnext.py Stage).
+    "pallas34off-savemlp": (None, ("mlp", "mlp", "mlp", "off"), "save_mlp_in"),
     "off": (None, "off", "on"),
 }
 

@@ -180,3 +180,29 @@ def test_preprocess_images_matches_reference_transform():
     want = normalize_images_host(imgs)
     got = preprocess_images(jnp.asarray(imgs))
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_save_mlp_in_remat_grads_match_plain_remat():
+    """encoder_remat='save_mlp_in' (save each block's dwconv output; the
+    backward replays no forward) must produce the same values AND grads as
+    the default full remat — it only changes what is stored vs recomputed."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+
+    def loss(params, remat):
+        model = ConvNeXtFeatures(depths=(2, 2), dims=(8, 16), remat=remat)
+        return jnp.sum(model.apply({"params": params}, x) ** 2)
+
+    params = ConvNeXtFeatures(depths=(2, 2), dims=(8, 16), remat="on").init(
+        {"params": jax.random.PRNGKey(1)}, x
+    )["params"]
+    want_v, want_g = jax.value_and_grad(loss)(params, "on")
+    got_v, got_g = jax.value_and_grad(loss)(params, "save_mlp_in")
+    np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-6)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(want_g)[0],
+        jax.tree_util.tree_flatten_with_path(got_g)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(kp),
+        )

@@ -131,6 +131,45 @@ def test_pallas_pipelined_matches_reference(n, monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
+def test_bwd_chunked_matches_single_call(monkeypatch):
+    """Row-chunked backward (the stage-3 local-AOT staging fix) must equal
+    the single-call kernel: d_x/d_sd concatenate, weight grads sum (f32
+    chunk-sum association differs from tile-sequential — tolerance)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_captioner.ops import mlp_block
+
+    args = make_args(sd="mixed", n=256)
+    x, res, sd, lns, lnb, w1, b1, w2, b2, gamma = args
+    g = jax.random.normal(jax.random.PRNGKey(7), x.shape)
+    bwd_args = (g, x, sd, lns, lnb, w1, b1, w2, b2, gamma)
+    monkeypatch.setattr(mlp_block, "_bwd_chunk_rows", lambda n, c: 0)
+    with pltpu.force_tpu_interpret_mode():
+        want = mlp_block._bwd_pallas(*bwd_args)
+    monkeypatch.setattr(mlp_block, "_bwd_chunk_rows", lambda n, c: 64)
+    with pltpu.force_tpu_interpret_mode():
+        got = mlp_block._bwd_pallas(*bwd_args)
+    assert len(want) == len(got) == 9
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_bwd_chunk_rows_band(monkeypatch):
+    """Chunking ships OFF (the 32 MB scoped-VMEM budget is the gate fix);
+    when opted in it applies ONLY to the locally-staged band (stage 3 at
+    flagship bs=32: 8192 x 512 f32 d_x = 16.8 MB)."""
+    from tpu_captioner.ops.mlp_block import _bwd_chunk_rows
+
+    assert _bwd_chunk_rows(8192, 512) == 0  # default: off
+    monkeypatch.setenv("TPU_CAPTIONER_MLP_BWD_CHUNK", "2048")
+    assert _bwd_chunk_rows(8192, 512) == 2048  # stage 3: chunked
+    assert _bwd_chunk_rows(131072, 128) == 0  # stage 1: streams already
+    assert _bwd_chunk_rows(32768, 256) == 0  # stage 2: above the band
+    assert _bwd_chunk_rows(2048, 1024) == 0  # stage 4 shape: n <= chunk
+    assert _bwd_chunk_rows(192, 128) == 0  # test shapes untouched
+
+
 def test_erf_poly_accuracy_and_gelu_parity():
     """The divide/exp-free in-kernel erf must stay at A&S-class accuracy
     (<=3e-7 abs, f32) against the true erf, across segment boundaries and

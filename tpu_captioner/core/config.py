@@ -94,7 +94,9 @@ class ModelConfig:
     decode_kernel: str = "auto"  # 'auto' | 'on' | 'off'
     # Rematerialize ConvNeXt blocks in the backward pass ('auto' keeps it on;
     # see models/convnext.py Stage for the measured trade-offs).
-    encoder_remat: str = "auto"  # 'auto' | 'on' | 'off'
+    # 'save_mlp_in' keeps remat on but saves each block's dwconv output so
+    # the backward replays no forward compute (fine-tune lever, round 5).
+    encoder_remat: str = "auto"  # 'auto' | 'on' | 'off' | 'save_mlp_in'
     # Dropout mask source for TF train steps: 'pool' generates the whole
     # step's ~30M mask bits in ONE hardware-PRNG Pallas launch
     # (ops/dropout_mask.py) instead of ~38 per-site threefry draws

@@ -31,6 +31,7 @@ from typing import Any, Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from tpu_captioner.models.torch_init import trunc_normal02
 from tpu_captioner.ops.dwconv import depthwise_conv7x7_nhwc
@@ -152,6 +153,11 @@ class ConvNeXtBlock(nn.Module):
         x = depthwise_conv7x7_nhwc(
             x.astype(self.dtype), dw_kernel.reshape(7, 7, d).astype(self.dtype), False
         ) + dw_bias.astype(self.dtype)
+        # Offered to the 'save_mlp_in' remat policy (Stage below): with the
+        # dwconv output saved, BOTH custom VJPs' residuals are saved values
+        # or remat-boundary inputs, so the block backward replays no forward
+        # compute at all (identity tag otherwise).
+        x = checkpoint_name(x, "mlp_in")
 
         if self.pallas_mode == "mlp":
             rows = x.reshape(-1, d)
@@ -221,7 +227,7 @@ class Stage(nn.Module):
     depth: int
     sd_probs: Sequence[float]
     pallas_mode: str = "off"
-    remat: str = "auto"  # 'auto' | 'on' | 'off'
+    remat: str = "auto"  # 'auto' | 'on' | 'off' | 'save_mlp_in'
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -235,8 +241,19 @@ class Stage(nn.Module):
         # the fused-kernel path (157 vs 517 ms/step fine-tune — storing
         # custom-VJP residuals across the scan serializes far worse than
         # replaying forwards), so 'auto' keeps it on everywhere.
-        if self.remat in ("on", "auto", True):
-            body = nn.remat(body, prevent_cse=False)
+        # 'save_mlp_in' additionally saves the per-block dwconv output
+        # (checkpoint_name 'mlp_in', one (B,H,W,C) tensor per block —
+        # 16.8 MB f32 at stage-3 bs=32): both the dwconv and the fused-MLP
+        # custom VJPs then find every residual already live, so the block
+        # backward replays NO forward compute (vs 'on' replaying
+        # dwconv+MLP fwd).  Round-5 fine-tune A/B under
+        # artifacts/r05_queue/q_ft_remat_*.
+        if self.remat in ("on", "auto", "save_mlp_in", True):
+            policy = (
+                jax.checkpoint_policies.save_only_these_names("mlp_in")
+                if self.remat == "save_mlp_in" else None
+            )
+            body = nn.remat(body, prevent_cse=False, policy=policy)
         scan = nn.scan(
             body,
             variable_axes={"params": 0},

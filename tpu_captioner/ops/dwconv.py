@@ -13,9 +13,13 @@ per (batch, W-tile); each cell loads its (H+6, TW+6, C) halo'd tile into
 VMEM scratch and accumulates the 49 taps in f32.
 
 The custom VJP keeps training supported: dx is the same kernel with a
-spatially flipped filter; dw reduces 49 shifted products in plain XLA (only
-exercised during encoder fine-tuning, where it is a tiny fraction of the
-backward FLOPs).
+spatially flipped filter; dw reduces 49 shifted products — by default in
+plain XLA, which fuses the reduction into the surrounding backward.  A
+batch-grid-accumulating Pallas dw kernel (round 5) wins the STANDALONE
+A/B ~3x (421 vs 1200 us at the stage-3 fine-tune shape, f32 —
+artifacts/r05_queue/q_dw_bwd_*.json) and ships as an env-selectable
+library kernel (TPU_CAPTIONER_DW_GRAD=pallas); the default follows the
+measured full-step A/B (BENCHMARKING "Fine-tune floor", round 5).
 """
 
 from __future__ import annotations
@@ -90,11 +94,50 @@ def _fwd(x, w, use_pallas):
     return depthwise_conv7x7_nhwc(x, w, use_pallas), (x, w)
 
 
-def _bwd(use_pallas, res, g):
-    x, w = res
-    # dL/dx: correlate the cotangent with the spatially flipped filter.
-    w_flip = w[::-1, ::-1, :]
-    dx = depthwise_conv7x7_nhwc(g, w_flip, use_pallas)
+def _dwg_kernel(x_ref, g_ref, dw_ref, pad_ref, *, H, W, C, NB):
+    """Filter gradient: dw[dy,dx,c] = sum_{b,h,w} x_pad[...] * g[...].
+
+    One grid cell per batch image; dw_ref's block index is constant so the
+    (K, K, C) accumulator lives in VMEM across the whole grid ("arbitrary"
+    semantics — cells must run in order for the read-modify-write)."""
+    b = pl.program_id(0)
+    pad_ref[...] = jnp.zeros_like(pad_ref)
+    pad_ref[P : P + H, P : P + W, :] = x_ref[0]
+
+    @pl.when(b == 0)
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    gf = g_ref[0].astype(jnp.float32)
+    for dy in range(K):
+        for dx in range(K):
+            tap = pad_ref[dy : dy + H, dx : dx + W, :].astype(jnp.float32)
+            dw_ref[dy, dx, :] += jnp.sum(tap * gf, axis=(0, 1))
+
+
+def _dw_grad_pallas(x: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    B, H, W, C = x.shape
+    kernel = functools.partial(_dwg_kernel, H=H, W=W, C=C, NB=B)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((K, K, C), jnp.float32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, K, C), lambda b: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((H + 2 * P, W + 2 * P, C), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(x, g)
+
+
+def _dw_grad_xla(x: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     # dL/dw[dy,dx,c] = sum_{b,h,w} x_pad[b,h+dy,w+dx,c] * g[b,h,w,c].
     H, W = x.shape[1], x.shape[2]
     xp = jnp.pad(x, ((0, 0), (P, P), (P, P), (0, 0)))
@@ -108,7 +151,32 @@ def _bwd(use_pallas, res, g):
                     axis=(0, 1, 2),
                 )
             )
-    dw = jnp.stack(taps).reshape(K, K, -1).astype(w.dtype)
+    return jnp.stack(taps).reshape(K, K, -1)
+
+
+def _dw_grad_impl():
+    """Filter-grad implementation, independent of the FORWARD kernel choice.
+    The Pallas grad kernel beats XLA's fused 49-tap reduction ~3x STANDALONE,
+    but 'auto' resolves to XLA: in the full fine-tune step the serialized
+    batch grid ('arbitrary' semantics) blocks the overlap XLA's fused
+    reduction gets for free, and the step A/B measured the kernel slower
+    in situ (BENCHMARKING "Fine-tune floor", round 5 —
+    artifacts/r05_queue/q_ft_insitu_*.log).  Trace-time static; env
+    TPU_CAPTIONER_DW_GRAD=xla|pallas overrides for A/B."""
+    import os
+
+    mode = os.environ.get("TPU_CAPTIONER_DW_GRAD", "auto")
+    if mode == "pallas":
+        return _dw_grad_pallas
+    return _dw_grad_xla
+
+
+def _bwd(use_pallas, res, g):
+    x, w = res
+    # dL/dx: correlate the cotangent with the spatially flipped filter.
+    w_flip = w[::-1, ::-1, :]
+    dx = depthwise_conv7x7_nhwc(g, w_flip, use_pallas)
+    dw = _dw_grad_impl()(x, g).astype(w.dtype)
     return dx, dw
 
 

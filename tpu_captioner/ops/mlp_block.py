@@ -349,8 +349,65 @@ def _bwd_kernel(g_ref, x_ref, sd_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
         dgamma_ref[:] = asmall_ref[4:5, :c]
 
 
+def _bwd_chunk_rows(n: int, c: int) -> int:
+    """Row-chunk the backward kernel call to shrink its HBM output tuple
+    (d_x (n, c) f32 + the (c, 4c) weight grads).  Built for the round-5
+    chipless-gate forensics: the local libtpu OOMs staging the STAGE-3 bwd
+    kernel's 25.4 MB output tuple on the scoped-VMEM stack
+    (artifacts/r05_queue/q_gate_ft_*.log).  Chunking shrank the tuple but
+    the local compiler then staged MORE elsewhere and still OOM'd at the
+    64 MB budget (q_gate_ft_chunk2048.log), and on the relay the chunked
+    f32 step RAN at a 32 MB budget but 8x slower (536.0 vs 66.5 ms/step,
+    q_ft_b32768_chunk2048_float32.log) — the placement XLA picks for the
+    chunked calls is pathological.  The shipping fix is the DTYPE-aware
+    scoped-VMEM budget (train/steps.py:train_step_compiler_options);
+    chunking ships OFF, env TPU_CAPTIONER_MLP_BWD_CHUNK opts in (tests
+    keep the path correct)."""
+    ch = int(os.environ.get("TPU_CAPTIONER_MLP_BWD_CHUNK", "0"))
+    if ch <= 0 or n <= ch:
+        return 0
+    # Only the mid-sized band is staged: stage-1/2 tuples (>=33 MB d_x)
+    # already stream from HBM and stage 4 runs XLA under the fine-tune
+    # policy — the gate log shows exactly one OOMing call, stage 3's
+    # (8192, 512).  Chunk only that band so the small-stage grids keep
+    # their single-call pipelining.
+    dx_bytes = n * c * 4
+    if not (12 * 1024 * 1024 < dx_bytes < 32 * 1024 * 1024):
+        return 0
+    return ch
+
+
 def _bwd_pallas(g, x, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
                 mxu_dtype=jnp.float32):
+    n, c = x.shape
+    ch = _bwd_chunk_rows(n, c)
+    if ch:
+        n_chunks = (n + ch - 1) // ch
+        if n % ch == 0:
+            parts = [
+                _bwd_pallas_one(
+                    g[i * ch:(i + 1) * ch], x[i * ch:(i + 1) * ch],
+                    sd_scale[i * ch:(i + 1) * ch],
+                    ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                    mxu_dtype=mxu_dtype,
+                )
+                for i in range(n_chunks)
+            ]
+            d_x = jnp.concatenate([p[0] for p in parts], axis=0)
+            d_sd = jnp.concatenate([p[1] for p in parts], axis=0)
+            summed = [
+                functools.reduce(jnp.add, (p[j] for p in parts))
+                for j in range(2, 9)
+            ]
+            return (d_x, d_sd, *summed)
+    return _bwd_pallas_one(
+        g, x, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+        mxu_dtype=mxu_dtype,
+    )
+
+
+def _bwd_pallas_one(g, x, sd_scale, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                    mxu_dtype=jnp.float32):
     n, c = x.shape
     c4 = w1.shape[1]
     # Stage-4 weights + weight-grad accumulators are 4 x 16.8 MB f32; keep the

@@ -219,9 +219,20 @@ def train_step_compiler_options(model, cfg, train_encoder: bool):
     operand/output tuples on the scoped-VMEM stack; at bs>32 they outgrow
     the ~46 MB default and XLA flips to a pathologically slow placement
     (27 ms @ bs=32 vs 732 ms @ bs=64 — BENCHMARKING.md "Batch-size
-    scaling, root-caused").  Sweep-tuned defaults: fine-tune keeps the
-    round-2 64 MB (its backward stages stack more and a larger budget
-    grows what XLA stages); frozen keeps XLA's own default at bs<=32
+    scaling, root-caused").  Sweep-tuned defaults: fine-tune is
+    DTYPE-aware as of round 5 — bf16 takes 32 MB (on-chip sweep is flat
+    from XLA's default through 64 MB: 61.9/63.1/62.0/61.6 ms at
+    default/40/48/64 MB, artifacts/r05_queue/q_ft_budget_*.log, and
+    32 MB is the one budget the local libtpu AOT gate also compiles —
+    default/40/48/96 MB all OOM staging the stage-3 bwd kernel's 25 MB
+    output tuple; q_gate_ft_*.log) while f32 keeps the round-2 64 MB:
+    the relay compiler's scoped demand for the f32 stage-3 bwd fusion
+    GROWS with the limit (37.28M at a 32 MB limit, 45.24M at 38 MB —
+    q_ft_b{32768,38912}_float32.log), so every budget the local gate
+    accepts is one the relay rejects for f32 and vice versa; no single
+    f32 budget compiles under both (11-configuration matrix in
+    BENCHMARKING.md "Fine-tune scoped-VMEM budget, both compilers").
+    Frozen keeps XLA's own default at bs<=32
     (raising it costs up to 10% there) and takes 96 MB above (bs=64 is
     732 ms default / 95 ms @ 64 MB / 62 ms @ 96 MB).  Env override:
     TPU_CAPTIONER_SCOPED_VMEM_KIB (0 = keep XLA's default budget)."""
@@ -238,7 +249,8 @@ def train_step_compiler_options(model, cfg, train_encoder: bool):
     import os
 
     if train_encoder:
-        default = 65536
+        bf16 = model.cfg.compute_dtype == "bfloat16"
+        default = 32768 if bf16 else 65536
     elif cfg.batch_size <= 32:
         default = 0
     else:
