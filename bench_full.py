@@ -102,11 +102,13 @@ def main():
         print(json.dumps(row), flush=True)
 
     # Fine-tune steps use the Trainer's per-stage kernel policy.
-    from tpu_captioner.train.model import finetune_use_pallas
+    from tpu_captioner.train.model import (finetune_encoder_remat,
+                                           finetune_use_pallas)
 
     ft_model = CaptionModel(
         ModelConfig(decoder="transformer", vocab_size=V, compute_dtype=dtype,
-                    use_pallas=finetune_use_pallas("auto"))
+                    use_pallas=finetune_use_pallas("auto"),
+                    encoder_remat=finetune_encoder_remat("auto", dtype))
     )
 
     # Train rows use the same dispatch-free scanned-quotient instrument as

@@ -76,7 +76,9 @@ def main():
 
     from tpu_captioner.core.config import ModelConfig, TrainConfig
     from tpu_captioner.infer.beam import _beam_search_batch_impl
-    from tpu_captioner.train.model import CaptionModel, finetune_use_pallas
+    from tpu_captioner.train.model import (CaptionModel,
+                                           finetune_encoder_remat,
+                                           finetune_use_pallas)
     from tpu_captioner.train.state import TrainState, make_optimizer
     from tpu_captioner.train.steps import make_eval_step, make_train_step
 
@@ -160,6 +162,8 @@ def main():
             decoder=decoder, vocab_size=V, compute_dtype=dtype,
             use_pallas=(finetune_use_pallas("auto") if train_encoder
                         else "auto"),
+            encoder_remat=(finetune_encoder_remat("auto", dtype)
+                           if train_encoder else "auto"),
         ))
         dec_opt = make_optimizer(cfg.decoder_lr, cfg.grad_clip)
         enc_opt = make_optimizer(cfg.encoder_lr, cfg.grad_clip)

@@ -293,6 +293,39 @@ def test_trainer_finetune_model_runs_stage4_on_xla(dataset_dir, tmp_path):
     assert tr2.ft_model is tr2.model  # user's per-stage choice wins
 
 
+def test_finetune_encoder_remat_policy(dataset_dir, tmp_path):
+    """Fine-tune remat defaults are dtype-aware (round-5 on-chip A/B):
+    bf16 'auto' -> 'save_mlp_in' (60.9 vs 62.5 ms/step), f32 'auto' stays
+    plain remat (save_mlp_in measured 465.4 vs 68.8 ms/step at f32 — the
+    454 MB of saved residuals flips XLA's placement).  Explicit values
+    always win."""
+    import dataclasses as _dc
+
+    from tpu_captioner.train.model import finetune_encoder_remat
+
+    assert finetune_encoder_remat("auto", "bfloat16") == "save_mlp_in"
+    assert finetune_encoder_remat("auto", "float32") == "auto"
+    assert finetune_encoder_remat("off", "bfloat16") == "off"
+    assert finetune_encoder_remat("save_mlp_in", "float32") == "save_mlp_in"
+
+    exp = ExperimentConfig(
+        data=DataConfig(batch_size=8, image_size=32),
+        model=_dc.replace(tiny_model_cfg(0), compute_dtype="bfloat16"),
+        train=tiny_train_cfg(
+            epochs=1,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            results_dir=str(tmp_path / "results"),
+        ),
+    )
+    tr = Trainer(exp, dataset_dir, BASE, verbose=False)
+    assert tr.ft_model.encoder.remat == "save_mlp_in"
+    assert tr.model.encoder.remat == "auto"  # frozen/TF model untouched
+
+    f32 = _dc.replace(exp, model=tiny_model_cfg(0))
+    tr2 = Trainer(f32, dataset_dir, BASE, verbose=False)
+    assert tr2.ft_model.encoder.remat == "auto"
+
+
 @pytest.mark.slow
 def test_data_parallel_matches_single_device(dataset_dir):
     batch_host, _ = first_batch(dataset_dir)

@@ -109,11 +109,16 @@ class Trainer:
         self.eval_model = CaptionModel(exp.model)
         # Fine-tune steps use the per-stage kernel policy (stage 4 on XLA);
         # params are shared, explicit per-stage configs pass through.
-        from tpu_captioner.train.model import finetune_use_pallas
+        from tpu_captioner.train.model import (finetune_encoder_remat,
+                                               finetune_use_pallas)
 
         ft_up = finetune_use_pallas(exp.model.use_pallas)
-        if ft_up != exp.model.use_pallas:
-            self.ft_model = CaptionModel(_dc.replace(exp.model, use_pallas=ft_up))
+        ft_remat = finetune_encoder_remat(
+            exp.model.encoder_remat, exp.model.compute_dtype
+        )
+        if ft_up != exp.model.use_pallas or ft_remat != exp.model.encoder_remat:
+            self.ft_model = CaptionModel(_dc.replace(
+                exp.model, use_pallas=ft_up, encoder_remat=ft_remat))
         else:
             self.ft_model = self.model
 

@@ -39,6 +39,29 @@ def finetune_use_pallas(use_pallas):
     return use_pallas
 
 
+def finetune_encoder_remat(remat, compute_dtype):
+    """Remat policy for train_encoder=True steps (the one home of this
+    policy, like finetune_use_pallas above).  'auto' resolves by dtype
+    from the round-5 on-chip A/B (artifacts/r05_queue/
+    q_ft_remat_savemlp_*.log vs the same-session q_ft_insitu_*_xla.log):
+
+      bf16 -> 'save_mlp_in' (60.9 vs 62.5 ms/step): saving each block's
+        dwconv output (8.4 MB x 27 blocks at stage 3) lets the block
+        backward replay no forward compute, and the bf16 residual
+        traffic is cheap enough to pay off.
+      f32  -> 'auto' (== plain full remat, Stage resolves it): the same
+        policy at f32 is CATASTROPHIC (465.4 vs 68.8 ms/step) — 454 MB
+        of saved f32 residuals across the stage-3 scan flips XLA into
+        the same pathological-placement family as the norem/chunked
+        variants (BENCHMARKING.md "save_mlp_in remat policy", round 5).
+
+    Explicit values pass through unchanged; frozen-encoder models keep
+    their own remat config (remat is inert without an encoder backward)."""
+    if remat == "auto" and compute_dtype == "bfloat16":
+        return "save_mlp_in"
+    return remat
+
+
 @dataclass(eq=False)
 class CaptionModel:
     cfg: ModelConfig
