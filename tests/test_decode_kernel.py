@@ -118,6 +118,37 @@ def test_row_tiled_grid_matches_single_tile(setup):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
+def test_onecell_matches_grid_kernel(setup):
+    """The one-cell kernel (fori_loop over resident (L, ...) blocks — round
+    5, built against the measured ~27 us/grid-cell fixed cost) must match
+    the grid-walked kernel: one row tile, multiple row tiles, and a mid-
+    sequence position with a non-empty cache."""
+    cfg, dec, p, enc_out = setup
+    B, T = 4, 6
+    mem = dec._project_memory(p, enc_out)
+    kw = prepare_decode_weights(p["layers"], cfg.embed_dim)
+    mem_k, mem_v = prepare_cross_memory(p["layers"], mem, cfg.embed_dim)
+    ck = jax.random.normal(
+        jax.random.PRNGKey(3), (cfg.num_layers, B, T, cfg.embed_dim)
+    )
+    cv = jax.random.normal(jax.random.PRNGKey(4), ck.shape)
+    toks = jnp.asarray([3, 9, 1, 7], jnp.int32)
+    for pos, rt in ((0, None), (4, None), (4, 2)):
+        x = dec._embed(
+            p, toks[:, None], jnp.int32(pos)[None], None, True
+        )[:, 0, :]
+        ref = fused_decode_step(
+            kw, x, jnp.int32(pos), ck, cv, mem_k, mem_v, cfg.num_heads,
+            interpret=True, row_tile=rt, one_cell=False,
+        )
+        got = fused_decode_step(
+            kw, x, jnp.int32(pos), ck, cv, mem_k, mem_v, cfg.num_heads,
+            interpret=True, row_tile=rt, one_cell=True,
+        )
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
 # slow: layers_per_cell ships OFF (measured 7.6x worse); ~21 s compile.
 @pytest.mark.slow
 def test_layers_per_cell_matches_per_layer_grid():

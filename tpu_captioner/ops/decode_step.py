@@ -122,6 +122,66 @@ def _ln(x, s, b):
     return (x - mu) * jax.lax.rsqrt(var + LN_EPS) * s + b
 
 
+def _layer_step(
+    x, wq, bq, wso_, bso_, wcq_, bcq_, wco_, bco_,
+    wf1_, bf1_, wf2_, bf2_, l1s, l1b, l2s, l2b, l3s, l3b,
+    ck_l, cv_l, mk_l, mv_l,
+    sel, keep, is_pos, scale, mm, num_layers,
+):
+    """One decoder layer of the fused step on ALREADY-SLICED per-layer
+    operands; shared by the grid-walked kernel (static slice per cell) and
+    the one-cell kernel (fori_loop dynamic slice).  Returns
+    (x, alpha_contrib, k_new, v_new)."""
+    R, E = x.shape
+    T = ck_l.shape[1]
+    P = mk_l.shape[1]
+    H = sel.shape[1]
+
+    # --- self-attention against the cache (token at `pos` written first,
+    # matching decode_step's update-then-attend order) ----------------------
+    qkv = mm(x, wq) + bq
+    q = qkv[:, :E] * scale
+    k_new = qkv[:, E : 2 * E]
+    v_new = qkv[:, 2 * E :]
+
+    ck = jnp.where(is_pos, k_new[:, None, :], ck_l.astype(jnp.float32))
+    cv = jnp.where(is_pos, v_new[:, None, :], cv_l.astype(jnp.float32))
+
+    prod = ck * q[:, None, :]  # (R, T, E)
+    scores = mm(prod.reshape(R * T, E), sel).reshape(R, T, H)
+    scores = jnp.where(keep, scores, -1e30)
+    mx = jnp.max(scores, axis=1, keepdims=True)
+    num = jnp.where(keep, jnp.exp(scores - mx), 0.0)
+    probs = num / jnp.sum(num, axis=1, keepdims=True)
+    pe = mm(probs.reshape(R * T, H), sel.T).reshape(R, T, E)
+    ctx = jnp.sum(cv * pe, axis=1)  # (R, E)
+    sa = mm(ctx, wso_) + bso_
+    x = _ln(x + sa, l1s, l1b)
+
+    # --- cross-attention against precomputed memory K/V --------------------
+    q2 = (mm(x, wcq_) + bcq_) * scale
+    mk = mk_l.astype(jnp.float32)  # (R, P, E)
+    prod2 = mk * q2[:, None, :]
+    scores2 = mm(prod2.reshape(R * P, E), sel).reshape(R, P, H)
+    mx2 = jnp.max(scores2, axis=1, keepdims=True)
+    num2 = jnp.exp(scores2 - mx2)
+    probs2 = num2 / jnp.sum(num2, axis=1, keepdims=True)  # (R, P, H)
+    pe2 = mm(probs2.reshape(R * P, H), sel.T).reshape(R, P, E)
+    ctx2 = jnp.sum(mv_l.astype(jnp.float32) * pe2, axis=1)
+    ca = mm(ctx2, wco_) + bco_
+
+    # layers+heads-averaged map (transformerDecoderAttVis.py:223-226)
+    alpha_contrib = jnp.mean(probs2, axis=2) / num_layers
+
+    x = _ln(x + ca, l2s, l2b)
+
+    # --- FFN ----------------------------------------------------------------
+    h = jnp.maximum(mm(x, wf1_) + bf1_, 0.0)
+    ff = mm(h, wf2_) + bf2_
+    x = _ln(x + ff, l3s, l3b)
+    return x, alpha_contrib, k_new, v_new
+
+
 def _kernel(
     pos_ref, x_ref,
     wqkv, bqkv, wso, bso, wcq, bcq, wco, bco,
@@ -177,54 +237,20 @@ def _kernel(
     alpha_cell = jnp.zeros((R, P), jnp.float32)
 
     for j in range(lpc):  # static unroll over this cell's layers
-        # --- self-attention against the cache (token at `pos` written
-        # first, matching decode_step's update-then-attend order) ----------
-        qkv = mm(x, wqkv[j]) + bqkv[j]
-        q = qkv[:, :E] * scale
-        k_new = qkv[:, E : 2 * E]
-        v_new = qkv[:, 2 * E :]
-
-        ck = jnp.where(is_pos, k_new[:, None, :], ck_in[j].astype(jnp.float32))
-        cv = jnp.where(is_pos, v_new[:, None, :], cv_in[j].astype(jnp.float32))
+        x, ac, k_new, v_new = _layer_step(
+            x, wqkv[j], bqkv[j], wso[j], bso[j], wcq[j], bcq[j],
+            wco[j], bco[j], wf1[j], bf1[j], wf2[j], bf2[j],
+            ln1s[j], ln1b[j], ln2s[j], ln2b[j], ln3s[j], ln3b[j],
+            ck_in[j], cv_in[j], memk[j], memv[j],
+            sel, keep, is_pos, scale, mm, num_layers,
+        )
+        alpha_cell = alpha_cell + ac
         # Only the NEW row leaves the kernel — the caller inserts it with an
         # aliased dynamic_update_slice (apply_cache_update).  Writing the
         # whole where-merged cache back cost 4x (RT,T,E) HBM writes per step
         # for one fresh row each.
         knew_out[j] = k_new.astype(knew_out.dtype)
         vnew_out[j] = v_new.astype(vnew_out.dtype)
-
-        prod = ck * q[:, None, :]  # (R, T, E)
-        scores = mm(prod.reshape(R * T, E), sel).reshape(R, T, H)
-        scores = jnp.where(keep, scores, -1e30)
-        mx = jnp.max(scores, axis=1, keepdims=True)
-        num = jnp.where(keep, jnp.exp(scores - mx), 0.0)
-        probs = num / jnp.sum(num, axis=1, keepdims=True)
-        pe = mm(probs.reshape(R * T, H), sel.T).reshape(R, T, E)
-        ctx = jnp.sum(cv * pe, axis=1)  # (R, E)
-        sa = mm(ctx, wso[j]) + bso[j]
-        x = _ln(x + sa, ln1s[j], ln1b[j])
-
-        # --- cross-attention against precomputed memory K/V ---------------
-        q2 = (mm(x, wcq[j]) + bcq[j]) * scale
-        mk = memk[j].astype(jnp.float32)  # (R, P, E)
-        prod2 = mk * q2[:, None, :]
-        scores2 = mm(prod2.reshape(R * P, E), sel).reshape(R, P, H)
-        mx2 = jnp.max(scores2, axis=1, keepdims=True)
-        num2 = jnp.exp(scores2 - mx2)
-        probs2 = num2 / jnp.sum(num2, axis=1, keepdims=True)  # (R, P, H)
-        pe2 = mm(probs2.reshape(R * P, H), sel.T).reshape(R, P, E)
-        ctx2 = jnp.sum(memv[j].astype(jnp.float32) * pe2, axis=1)
-        ca = mm(ctx2, wco[j]) + bco[j]
-
-        # layers+heads-averaged map (transformerDecoderAttVis.py:223-226)
-        alpha_cell = alpha_cell + jnp.mean(probs2, axis=2) / num_layers
-
-        x = _ln(x + ca, ln2s[j], ln2b[j])
-
-        # --- FFN -----------------------------------------------------------
-        h = jnp.maximum(mm(x, wf1[j]) + bf1[j], 0.0)
-        ff = mm(h, wf2[j]) + bf2[j]
-        x = _ln(x + ff, ln3s[j], ln3b[j])
 
     x_scr[pl.ds(row0, R), :] = x
 
@@ -242,6 +268,70 @@ def _kernel(
         alpha_out[:] = alpha_scr[pl.ds(row0, R), :]
 
 
+def _kernel_onecell(
+    pos_ref, x_ref,
+    wqkv, bqkv, wso, bso, wcq, bcq, wco, bco,
+    wf1, bf1, wf2, bf2, ln1s, ln1b, ln2s, ln2b, ln3s, ln3b,
+    memk, memv, ck_in, cv_in,
+    x_out, alpha_out, knew_out, vnew_out,
+    *, num_heads: int, num_layers: int, mxu_dtype,
+):
+    # Grid: (row tiles,) — ONE cell runs ALL layers via an in-kernel
+    # fori_loop over the RESIDENT (L, ...) weight/memory/cache blocks
+    # (the mega-kernel's weights_resident dynamic-slice pattern).  Built
+    # against the round-5 decode-floor finding that the ~27 us fixed cost
+    # per grid cell dominates the six-cell kernel (BENCHMARKING.md
+    # "Decode floor, MEASURED"): one cell pays it once instead of L times,
+    # at the price of serializing the whole step's operand fetch into the
+    # cell's prologue instead of pipelining it behind earlier layers.
+    # The loop body compiles ONCE (no lpc=3-style unroll spill).
+    pos = pos_ref[0, 0]
+    R, E = x_ref.shape  # R = row-tile size here
+    H = num_heads
+    dh = E // H
+    scale = 1.0 / math.sqrt(dh)
+    T = ck_in.shape[2]
+    P = memk.shape[2]
+
+    def mm(a, b):
+        return jnp.dot(
+            a.astype(mxu_dtype), b.astype(mxu_dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    e_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 0)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (E, H), 1)
+    sel = ((e_ids // dh) == h_ids).astype(jnp.float32)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1)
+    is_pos = t_ids == pos
+    keep = t_ids <= pos
+
+    def body(l, carry):
+        x, alpha = carry
+
+        def sl(ref):
+            return ref[pl.ds(l, 1)][0]
+
+        x, ac, k_new, v_new = _layer_step(
+            x, sl(wqkv), sl(bqkv), sl(wso), sl(bso), sl(wcq), sl(bcq),
+            sl(wco), sl(bco), sl(wf1), sl(bf1), sl(wf2), sl(bf2),
+            sl(ln1s), sl(ln1b), sl(ln2s), sl(ln2b), sl(ln3s), sl(ln3b),
+            sl(ck_in), sl(cv_in), sl(memk), sl(memv),
+            sel, keep, is_pos, scale, mm, num_layers,
+        )
+        knew_out[pl.ds(l, 1)] = k_new[None].astype(knew_out.dtype)
+        vnew_out[pl.ds(l, 1)] = v_new[None].astype(vnew_out.dtype)
+        return x, alpha + ac
+
+    x, alpha = jax.lax.fori_loop(
+        0, num_layers,
+        body,
+        (x_ref[:].astype(jnp.float32), jnp.zeros((R, P), jnp.float32)),
+    )
+    x_out[:] = x.astype(x_out.dtype)
+    alpha_out[:] = alpha
+
+
 def fused_decode_step(
     w: DecodeWeights,
     x: jnp.ndarray,  # (R, E) embedded token (+PE) at `pos`
@@ -256,6 +346,7 @@ def fused_decode_step(
     precise: bool = None,
     row_tile: int = None,
     layers_per_cell: int = None,
+    one_cell: bool = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (x_out (R, E) f32, alpha (R, P) f32, k_new (L, R, E),
     v_new (L, R, E)).  The caches are READ-only here; insert the new rows
@@ -285,6 +376,14 @@ def fused_decode_step(
     # comfortably double-bufferable; one-tile fast path for greedy eval.
     RT = row_tile or (R if R <= 32 else 32)
     NR = pl.cdiv(R, RT)
+    if one_cell is None:
+        one_cell = _onecell_default(w, mem_k, mem_v, cache_k, RT)
+    if one_cell and row_tile is None and R > 32:
+        # One-cell mode keeps ALL stacked weights resident (~44 MB bf16 at
+        # flagship); RT=32 per-row blocks (~40 MB) double-buffered on top
+        # exceed the 128 MB VMEM by ~5.5 MB at beam R=160 — halve the tile.
+        RT = 16
+        NR = pl.cdiv(R, RT)
     if layers_per_cell is None:
         # Default 1: packing measured WORSE at flagship scale — lpc=3 bf16
         # at R=32 ran 2.54 ms/step vs lpc=1's 0.33 (and took a 20-minute
@@ -294,13 +393,18 @@ def fused_decode_step(
     LPC = layers_per_cell
     if L % LPC != 0:
         raise ValueError(f"layers_per_cell={LPC} must divide num_layers={L}")
+    pos2 = jnp.reshape(pos.astype(jnp.int32), (1, 1))
+    if one_cell:
+        return _call_onecell(
+            w, pos2, x, cache_k, cache_v, mem_k, mem_v, num_heads,
+            interpret=interpret, precise=precise, RT=RT, NR=NR,
+        )
     kernel = functools.partial(
         _kernel,
         num_heads=num_heads,
         num_layers=L,
         mxu_dtype=jnp.float32 if precise else jnp.bfloat16,
     )
-    pos2 = jnp.reshape(pos.astype(jnp.int32), (1, 1))
     perr = lambda shape: pl.BlockSpec(
         shape, lambda g, r: (r,) + (0,) * (len(shape) - 1),
         memory_space=pltpu.VMEM,
@@ -349,6 +453,79 @@ def fused_decode_step(
         interpret=interpret,
     )(pos2, x, *w, mem_k, mem_v, cache_k, cache_v)
     return x_out, alpha, k_new, v_new
+
+
+def _onecell_default(w, mem_k, mem_v, cache_k, RT) -> bool:
+    """The one-cell kernel ships OFF: the round-5 on-chip A/B
+    (artifacts/r05_queue/q_onecell_*.json, same relay session per pair)
+    measured it SLOWER in both contexts — greedy eval 33.4 vs 30.4
+    ms/batch32 bf16, beam-5 247.3 vs 254.7 caps/s.  Residency serializes
+    the whole step's operand fetch into the cell prologue, losing more
+    than the 5 saved grid-cell transitions: the ~27 us/cell 'fixed cost'
+    of the grid-walked kernel is mostly covered fetch latency, not
+    removable sequencing overhead (BENCHMARKING.md 'One-cell decode
+    kernel').  Env TPU_CAPTIONER_DECODE_ONECELL=1/0 forces it for
+    re-measurement on future toolchains."""
+    import os
+
+    return os.environ.get(
+        "TPU_CAPTIONER_DECODE_ONECELL", ""
+    ).strip() == "1"
+
+
+def _call_onecell(
+    w, pos2, x, cache_k, cache_v, mem_k, mem_v, num_heads,
+    *, interpret, precise, RT, NR,
+):
+    L, R, T, E = cache_k.shape
+    P = mem_k.shape[2]
+    kernel = functools.partial(
+        _kernel_onecell,
+        num_heads=num_heads,
+        num_layers=L,
+        mxu_dtype=jnp.float32 if precise else jnp.bfloat16,
+    )
+    perr = lambda shape: pl.BlockSpec(
+        shape, lambda r: (r,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM,
+    )
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda r: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    allr = lambda shape: pl.BlockSpec(  # (L, RT, ...) blocks, row-indexed
+        (L,) + shape, lambda r: (0, r) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM,
+    )
+    weight_specs = [const(tuple(a.shape)) for a in w]
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((R, E), jnp.float32),
+            jax.ShapeDtypeStruct((R, P), jnp.float32),
+            jax.ShapeDtypeStruct((L, R, E), cache_k.dtype),
+            jax.ShapeDtypeStruct((L, R, E), cache_v.dtype),
+        ),
+        grid=(NR,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda r: (0, 0), memory_space=pltpu.SMEM),
+            perr((RT, E)),
+            *weight_specs,
+            allr((RT, P, E)),
+            allr((RT, P, E)),
+            allr((RT, T, E)),
+            allr((RT, T, E)),
+        ],
+        out_specs=(
+            perr((RT, E)),
+            perr((RT, P)),
+            allr((RT, E)),
+            allr((RT, E)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(pos2, x, *w, mem_k, mem_v, cache_k, cache_v)
 
 
 def apply_cache_update(
