@@ -254,12 +254,20 @@ class Stage(nn.Module):
                 if self.remat == "save_mlp_in" else None
             )
             body = nn.remat(body, prevent_cse=False, policy=policy)
+        # Experimental knob (round 5): unroll>1 lets XLA interleave adjacent
+        # blocks' backward/remat work across the scan-iteration boundary —
+        # probing the ~10 ms/step of fine-tune scan-interleave overhead the
+        # isolated floor arms don't pay (BENCHMARKING.md "Fine-tune floor").
+        import os as _os
+
+        unroll = int(_os.environ.get("TPU_CAPTIONER_STAGE_UNROLL", "1"))
         scan = nn.scan(
             body,
             variable_axes={"params": 0},
             split_rngs={"params": True, "stochastic_depth": True},
             in_axes=0,
             length=self.depth,
+            unroll=unroll if self.depth % unroll == 0 else 1,
         )
         block = ConvNeXtBlock(
             self.dim, deterministic=deterministic, pallas_mode=self.pallas_mode,
